@@ -1,0 +1,109 @@
+"""Training losses: soft Dice, 2D NCC, and the joint Dice + heatmap-NCC loss.
+
+Semantics mirror the reference implementation (reference: train_test_code/dice.py,
+train_test_code/ncc.py) but operate on NHWC arrays and are pure jittable
+functions suitable for ``jax.value_and_grad`` on TPU:
+
+- soft Dice (reference dice.py:20-55): negated differentiable Dice with
+  eps=1e-4 added to numerator and denominator; optional background skip;
+  per-class -> per-image mean -> batch mean. NOTE a deliberate replication of
+  a reference quirk: for a class empty in both prediction and target the
+  formula yields (+eps)/(+eps) = +1, the WORST score, even though the
+  reference's comment (dice.py:21-24) claims the case scores -1 (the sign
+  flip on the numerator's eps was evidently unintended). The gradient is
+  exactly zero either way, so training dynamics are unaffected, but we keep
+  the reference's loss *values* bit-comparable for parity testing.
+- 2D NCC (reference ncc.py:12-38): normalized cross-correlation over the two
+  spatial dims, sample standard deviation with N-1, eps=1e-8 in the
+  denominator.
+- joint loss (reference dice.py:57-86): (1-w)*dice + w*mean((ncc+1)*-0.5).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_DICE_EPS = 1.0e-4
+_NCC_EPS = 1.0e-8
+
+
+def soft_dice_loss(pred: jnp.ndarray, target: jnp.ndarray, skip_bg: bool = True) -> jnp.ndarray:
+    """Differentiable (negated) Dice over softmax probabilities vs one-hot targets.
+
+    Args:
+      pred:   (B, H, W, C) softmax class probabilities.
+      target: (B, H, W, C) one-hot ground truth.
+      skip_bg: exclude channel 0 (background) from the average.
+
+    Returns scalar loss in [-1, 0]; -1 is a perfect segmentation.
+    """
+    assert pred.ndim == 4 and target.ndim == 4
+    if skip_bg:
+        pred = pred[..., 1:]
+        target = target[..., 1:]
+    num_classes = pred.shape[-1]
+
+    # Sum over spatial dims (H, W) -> (B, C)
+    numerators = -2.0 * jnp.sum(target * pred, axis=(1, 2)) + _DICE_EPS
+    denominators = (
+        jnp.sum(target * target, axis=(1, 2))
+        + jnp.sum(pred * pred, axis=(1, 2))
+        + _DICE_EPS
+    )
+    dices = numerators / denominators  # (B, C)
+    avg_dices = jnp.sum(dices, axis=1) / num_classes  # (B,)
+    return jnp.mean(avg_dices)
+
+
+def ncc_2d(x: jnp.ndarray, y: jnp.ndarray, axes: tuple[int, int] = (-2, -1)) -> jnp.ndarray:
+    """Normalized cross-correlation over two spatial axes.
+
+    Mirrors reference ncc.py:12-38: zero-mean both inputs over the spatial
+    axes, divide by N * sample std (N-1 normalization) with eps=1e-8. Works on
+    any rank >= 2; returns an array with the spatial axes reduced away.
+    """
+    n = x.shape[axes[0]] * x.shape[axes[1]]
+    assert n > 1
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+
+    mu_x = jnp.mean(x, axis=axes, keepdims=True)
+    x_zm = x - mu_x
+    x_sd = jnp.sqrt(jnp.sum(x_zm * x_zm, axis=axes) / (n - 1))
+
+    mu_y = jnp.mean(y, axis=axes, keepdims=True)
+    y_zm = y - mu_y
+    y_sd = jnp.sqrt(jnp.sum(y_zm * y_zm, axis=axes) / (n - 1))
+
+    return jnp.sum(x_zm * y_zm, axis=axes) / ((n * (x_sd * y_sd)) + _NCC_EPS)
+
+
+def heatmap_ncc_loss(pred_heats: jnp.ndarray, target_heats: jnp.ndarray) -> jnp.ndarray:
+    """Per-landmark NCC mapped to [-1, 0] and averaged (reference dice.py:81-86).
+
+    Args:
+      pred_heats / target_heats: (B, H, W, L).
+    """
+    # NCC over spatial axes (1, 2), leaving (B, L)
+    nccs = ncc_2d(pred_heats, target_heats, axes=(1, 2))
+    ncc_losses = (nccs + 1.0) * -0.5
+    return jnp.mean(ncc_losses)
+
+
+def dice_and_heatmap_loss(
+    pred_seg: jnp.ndarray,
+    pred_heats: jnp.ndarray,
+    target_seg: jnp.ndarray,
+    target_heats: jnp.ndarray,
+    skip_bg: bool = False,
+    heatmap_wgt: float = 0.5,
+) -> jnp.ndarray:
+    """Joint segmentation + landmark loss: (1-w)*dice + w*heatmap-NCC.
+
+    Mirrors reference dice.py:57-86 (the training loop constructs it with
+    skip_bg=False, train.py:324).
+    """
+    assert 1.0e-8 < heatmap_wgt < 1.0 + 1.0e-8
+    dice = soft_dice_loss(pred_seg, target_seg, skip_bg=skip_bg)
+    heat = heatmap_ncc_loss(pred_heats, target_heats)
+    return (1.0 - heatmap_wgt) * dice + heatmap_wgt * heat
