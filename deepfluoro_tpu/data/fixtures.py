@@ -1,0 +1,124 @@
+"""Synthetic micro-dataset generator with the exact preprocessed-archive
+schema (hdf5_layouts/Readme.md:95-117) for tests and smoke training.
+
+Generates plausible structure: elliptical 'bone' blobs for seg classes 1..6,
+landmarks placed on those blobs using the reference's landmark names (the
+names drive the seg-class gating in landmark extraction,
+est_lands_csv.py:56-73), and projections that are darker inside the blobs
+plus smooth background — enough signal for a small U-Net to overfit in a few
+epochs, which is what the smoke tests assert.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import h5py as h5
+
+# 14 bilateral landmark names as in the real archives (README.md:45-54),
+# ordered left/right interleaved like land-00..land-13.
+DEFAULT_LAND_NAMES = [
+    "FH-l", "FH-r",
+    "GSN-l", "GSN-r",
+    "IOF-l", "IOF-r",
+    "MOF-l", "MOF-r",
+    "SPS-l", "SPS-r",
+    "IPS-l", "IPS-r",
+    "ASIS-l", "ASIS-r",
+]
+
+# landmark name -> seg class whose blob it sits on (est_lands_csv.py:56-73)
+_LAND_TO_CLASS = {
+    "FH-l": 5, "FH-r": 6,
+    "GSN-l": 1, "GSN-r": 2,
+    "IOF-l": 1, "IOF-r": 2,
+    "MOF-l": 1, "MOF-r": 2,
+    "SPS-l": 1, "SPS-r": 2,
+    "IPS-l": 1, "IPS-r": 2,
+    "ASIS-l": 1, "ASIS-r": 2,
+}
+
+
+def _ellipse_mask(h, w, cy, cx, ry, rx):
+    ys = np.arange(h)[:, None]
+    xs = np.arange(w)[None, :]
+    return (((ys - cy) / ry) ** 2 + ((xs - cx) / rx) ** 2) <= 1.0
+
+
+def make_specimen(
+    rng: np.random.Generator,
+    num_projs: int,
+    img_dim: int,
+    num_classes: int = 7,
+    land_names=DEFAULT_LAND_NAMES,
+):
+    """Returns (projs (N,R,C) f4, segs (N,R,C) u1, lands (N,2,L) f4)."""
+    h = w = img_dim
+    n_l = len(land_names)
+    projs = np.zeros((num_projs, h, w), np.float32)
+    segs = np.zeros((num_projs, h, w), np.uint8)
+    lands = np.zeros((num_projs, 2, n_l), np.float32)
+
+    for n in range(num_projs):
+        # smooth background
+        bg = rng.random((h // 8 + 1, w // 8 + 1)).astype(np.float32)
+        bg = np.kron(bg, np.ones((8, 8), np.float32))[:h, :w]
+        img = 0.4 + 0.2 * bg
+
+        class_centers = {}
+        for c in range(1, num_classes):
+            frac = 0.5 + 0.5 * (c - 1) / max(1, num_classes - 2)
+            side = -1 if c % 2 == 1 else 1  # odd classes left, even right
+            cx = w / 2 + side * w * rng.uniform(0.12, 0.3)
+            cy = h * rng.uniform(0.25, 0.75)
+            ry = h * rng.uniform(0.08, 0.16) * frac
+            rx = w * rng.uniform(0.08, 0.16) * frac
+            m = _ellipse_mask(h, w, cy, cx, ry, rx)
+            segs[n][m] = c
+            img[m] += 0.35  # log-transformed convention: bone is bright
+            class_centers[c] = (cy, cx, ry, rx)
+
+        img += rng.normal(0, 0.01, (h, w)).astype(np.float32)
+        projs[n] = img
+
+        for li, name in enumerate(land_names):
+            c = _LAND_TO_CLASS.get(name, 1)
+            if c in class_centers:
+                cy, cx, ry, rx = class_centers[c]
+                ang = rng.uniform(0, 2 * np.pi)
+                x = cx + 0.5 * rx * np.cos(ang)
+                y = cy + 0.5 * ry * np.sin(ang)
+            else:
+                x, y = rng.uniform(0, w - 1), rng.uniform(0, h - 1)
+            # occasionally produce an out-of-bounds landmark (the archives
+            # have them; consumers must handle the inf marking)
+            if rng.random() < 0.05:
+                x = -20.0
+            lands[n, 0, li] = x
+            lands[n, 1, li] = y
+
+    return projs, segs, lands
+
+
+def write_synthetic_dataset(
+    path: str,
+    num_specimens: int = 2,
+    num_projs: int = 6,
+    img_dim: int = 48,
+    num_classes: int = 7,
+    land_names=DEFAULT_LAND_NAMES,
+    seed: int = 0,
+) -> str:
+    """Write a preprocessed-schema HDF5 (specimens '01'..'0N')."""
+    rng = np.random.default_rng(seed)
+    with h5.File(path, "w") as f:
+        g = f.create_group("land-names")
+        g["num-lands"] = len(land_names)
+        for li, name in enumerate(land_names):
+            g["land-{:02d}".format(li)] = name
+        for s in range(1, num_specimens + 1):
+            projs, segs, lands = make_specimen(rng, num_projs, img_dim, num_classes, land_names)
+            sg = f.create_group("{:02d}".format(s))
+            sg.create_dataset("projs", data=projs)
+            sg.create_dataset("segs", data=segs)
+            sg.create_dataset("lands", data=lands)
+    return path

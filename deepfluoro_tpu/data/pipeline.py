@@ -1,0 +1,68 @@
+"""Host batching + device prefetch.
+
+The reference feeds training with torch DataLoader worker processes doing the
+full augmentation on CPU (train.py:293-296). Here the host side only shuffles
+indices and slices numpy arrays; everything compute-shaped (augmentation,
+one-hot, padding, normalization, heatmap synthesis) runs on device inside
+``prepare_batch`` (augment.py), which the train step consumes directly.
+
+``BatchIterator`` optionally keeps the full dataset resident on device (it is
+small: the 8x archive is 42 MB, README.md:66) and gathers batches with
+device-side indexing, eliminating per-step host->device copies entirely.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepfluoro_tpu.data.hdf5 import FluoroData
+
+
+class BatchIterator:
+    """Shuffled epoch iterator yielding raw (projs, segs, lands) batches.
+
+    The final partial batch is kept (like torch DataLoader's default
+    drop_last=False) — at most one extra jit specialization for the
+    remainder shape.
+    """
+
+    def __init__(
+        self,
+        data: FluoroData,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        device_resident: bool = True,
+    ):
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self.device_resident = device_resident
+        if device_resident:
+            self._projs = jnp.asarray(data.projs)
+            self._segs = None if data.segs is None else jnp.asarray(data.segs)
+            self._lands = None if data.lands is None else jnp.asarray(data.lands)
+
+    def __len__(self) -> int:
+        return -(-len(self.data) // self.batch_size)
+
+    def epoch(self):
+        n = len(self.data)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if self.device_resident:
+                jidx = jnp.asarray(idx)
+                projs = jnp.take(self._projs, jidx, axis=0)
+                segs = None if self._segs is None else jnp.take(self._segs, jidx, axis=0)
+                lands = None if self._lands is None else jnp.take(self._lands, jidx, axis=0)
+            else:
+                projs = self.data.projs[idx]
+                segs = None if self.data.segs is None else self.data.segs[idx]
+                lands = None if self.data.lands is None else self.data.lands[idx]
+            yield projs, segs, lands

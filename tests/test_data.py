@@ -1,0 +1,184 @@
+"""Tests for the HDF5 layer, fixtures, and the device-side augmentation
+pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepfluoro_tpu.data import (
+    AugmentConfig,
+    BatchIterator,
+    get_land_names_from_dataset,
+    get_num_lands_from_dataset,
+    get_orig_img_shape,
+    load_dataset,
+    prepare_batch,
+    split_train_valid,
+)
+from deepfluoro_tpu.data.fixtures import DEFAULT_LAND_NAMES, write_synthetic_dataset
+from deepfluoro_tpu.data.hdf5 import mark_oob_landmarks_inf
+
+
+@pytest.fixture(scope="module")
+def fixture_h5(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "synthetic.h5"
+    return write_synthetic_dataset(str(path), num_specimens=2, num_projs=6, img_dim=48)
+
+
+class TestHDF5:
+    def test_metadata_readers(self, fixture_h5):
+        assert get_num_lands_from_dataset(fixture_h5) == 14
+        assert get_land_names_from_dataset(fixture_h5) == DEFAULT_LAND_NAMES
+        assert get_orig_img_shape(fixture_h5, 1) == (48, 48)
+
+    def test_load_multi_specimen(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1, 2])
+        assert data.projs.shape == (12, 48, 48)
+        assert data.segs.shape == (12, 48, 48)
+        assert data.lands.shape == (12, 2, 14)
+        assert data.projs.dtype == np.float32
+        assert data.segs.dtype == np.uint8
+        assert set(np.unique(data.segs)) <= set(range(7))
+
+    def test_oob_marking(self):
+        lands = np.array([[[5.0, -3.0, 50.0], [5.0, 5.0, 5.0]]], np.float32)
+        out = mark_oob_landmarks_inf(lands, (48, 48))
+        assert np.isfinite(out[0, :, 0]).all()
+        assert np.isinf(out[0, :, 1]).all()  # x < 0
+        assert np.isinf(out[0, :, 2]).all()  # x > 47
+        # y row of the in-bounds landmark untouched
+        assert out[0, 1, 0] == 5.0
+
+    def test_minmax_scaling(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1], minmax=True)
+        assert data.minmax is not None
+        assert data.projs.min() == pytest.approx(0.0, abs=1e-6)
+        assert data.projs.max() == pytest.approx(1.0, abs=1e-6)
+
+    def test_split_roundtrip(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1, 2])
+        tr, va, tr_idx, va_idx = split_train_valid(data, 0.85, seed=3)
+        assert len(tr) == 11 and len(va) == 1  # ceil(0.85*12)=11
+        assert sorted(tr_idx + va_idx) == list(range(12))
+        # restore the same split from stored indices
+        tr2, va2, tr_idx2, va_idx2 = split_train_valid(data, 0.85, train_valid_idx=(tr_idx, va_idx))
+        assert tr_idx2 == tr_idx and va_idx2 == va_idx
+        np.testing.assert_array_equal(tr2.projs, tr.projs)
+
+
+class TestPrepareBatch:
+    def test_eval_mode_shapes_and_padding(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1])
+        cfg = AugmentConfig(num_classes=7, proj_pad_dim=64, prob_of_aug=0.0)
+        out = prepare_batch(
+            cfg,
+            jax.random.PRNGKey(0),
+            jnp.asarray(data.projs[:3]),
+            jnp.asarray(data.segs[:3]),
+            jnp.asarray(data.lands[:3]),
+        )
+        assert out["proj"].shape == (3, 64, 64, 1)
+        assert out["seg"].shape == (3, 48, 48, 7)
+        assert out["heats"].shape == (3, 48, 48, 14)
+        # z-normed
+        m = float(jnp.mean(out["proj"][0]))
+        s = float(jnp.std(out["proj"][0]))
+        assert abs(m) < 1e-4 and s == pytest.approx(1.0, abs=1e-3)
+        # one-hot is consistent with labels
+        np.testing.assert_array_equal(
+            np.asarray(out["seg"].argmax(-1)), data.segs[:3]
+        )
+
+    def test_eval_mode_is_deterministic(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1])
+        cfg = AugmentConfig(num_classes=7, proj_pad_dim=64, prob_of_aug=0.0)
+        a = prepare_batch(cfg, jax.random.PRNGKey(0), jnp.asarray(data.projs[:2]),
+                          jnp.asarray(data.segs[:2]), jnp.asarray(data.lands[:2]))
+        b = prepare_batch(cfg, jax.random.PRNGKey(42), jnp.asarray(data.projs[:2]),
+                          jnp.asarray(data.segs[:2]), jnp.asarray(data.lands[:2]))
+        np.testing.assert_array_equal(np.asarray(a["proj"]), np.asarray(b["proj"]))
+
+    def test_heatmap_peaks_at_landmarks(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1])
+        cfg = AugmentConfig(num_classes=7, proj_pad_dim=64, prob_of_aug=0.0)
+        out = prepare_batch(cfg, jax.random.PRNGKey(0), jnp.asarray(data.projs[:1]),
+                            jnp.asarray(data.segs[:1]), jnp.asarray(data.lands[:1]))
+        heats = np.asarray(out["heats"][0])
+        for li in range(14):
+            x, y = data.lands[0, 0, li], data.lands[0, 1, li]
+            if np.isfinite(x):
+                pr, pc = np.unravel_index(heats[..., li].argmax(), heats[..., li].shape)
+                assert abs(pr - y) <= 1 and abs(pc - x) <= 1
+            else:
+                assert heats[..., li].max() == 0.0
+
+    def test_aug_mode_runs_and_changes_data(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1])
+        cfg = AugmentConfig(num_classes=7, proj_pad_dim=64, prob_of_aug=1.0)
+        out = prepare_batch(cfg, jax.random.PRNGKey(1), jnp.asarray(data.projs[:4]),
+                            jnp.asarray(data.segs[:4]), jnp.asarray(data.lands[:4]))
+        assert out["proj"].shape == (4, 64, 64, 1)
+        assert np.isfinite(np.asarray(out["proj"])).all()
+        assert np.isfinite(np.asarray(out["heats"])).all()
+        # augmented output differs from non-augmented
+        cfg0 = AugmentConfig(num_classes=7, proj_pad_dim=64, prob_of_aug=0.0)
+        base = prepare_batch(cfg0, jax.random.PRNGKey(1), jnp.asarray(data.projs[:4]),
+                             jnp.asarray(data.segs[:4]), jnp.asarray(data.lands[:4]))
+        assert not np.allclose(np.asarray(out["proj"]), np.asarray(base["proj"]))
+        # seg stays a valid one-hot (nearest warp preserves discreteness)
+        seg_sum = np.asarray(out["seg"]).sum(-1)
+        np.testing.assert_allclose(seg_sum, 1.0, atol=1e-6)
+
+    def test_aug_affine_moves_landmarks_with_image(self, fixture_h5):
+        """With aug probability 1 and only affine enabled, the synthesized
+        heatmap peak must track the warped seg blob."""
+        data = load_dataset(fixture_h5, [1])
+        cfg = AugmentConfig(
+            num_classes=7, proj_pad_dim=64, prob_of_aug=1.0,
+            do_invert=False, do_noise=False, do_gamma=False, do_erase=False,
+        )
+        out = prepare_batch(cfg, jax.random.PRNGKey(7), jnp.asarray(data.projs[:1]),
+                            jnp.asarray(data.segs[:1]), jnp.asarray(data.lands[:1]))
+        heats = np.asarray(out["heats"][0])
+        seg = np.asarray(out["seg"][0].argmax(-1))
+        lands = np.asarray(out["lands"][0])
+        # FH-l (land 0) sits on class 5; after warp its heatmap peak should
+        # still be on/near the warped class-5 blob
+        for li, cls in [(0, 5), (1, 6)]:
+            x, y = lands[0, li], lands[1, li]
+            if not np.isfinite(x):
+                continue
+            r, c = int(round(y)), int(round(x))
+            r0, r1 = max(0, r - 3), min(seg.shape[0], r + 4)
+            c0, c1 = max(0, c - 3), min(seg.shape[1], c + 4)
+            assert (seg[r0:r1, c0:c1] == cls).any(), f"landmark {li} detached from class {cls}"
+
+    def test_proj_only_mode(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1])
+        cfg = AugmentConfig(num_classes=7, proj_pad_dim=64, prob_of_aug=0.0)
+        out = prepare_batch(cfg, jax.random.PRNGKey(0), jnp.asarray(data.projs[:2]))
+        assert set(out.keys()) == {"proj"}
+        assert out["proj"].shape == (2, 64, 64, 1)
+
+
+class TestBatchIterator:
+    def test_epoch_covers_all_with_partial_batch(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1, 2])
+        it = BatchIterator(data, batch_size=5, shuffle=True, seed=0)
+        sizes = [b[0].shape[0] for b in it.epoch()]
+        assert sizes == [5, 5, 2]
+        assert len(it) == 3
+
+    def test_shuffling_differs_between_epochs(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1, 2])
+        it = BatchIterator(data, batch_size=12, shuffle=True, seed=0)
+        e1 = np.asarray(next(iter(it.epoch()))[0])
+        e2 = np.asarray(next(iter(it.epoch()))[0])
+        assert not np.array_equal(e1, e2)
+
+    def test_no_shuffle_order(self, fixture_h5):
+        data = load_dataset(fixture_h5, [1])
+        it = BatchIterator(data, batch_size=6, shuffle=False)
+        b = np.asarray(next(iter(it.epoch()))[0])
+        np.testing.assert_array_equal(b, data.projs)
