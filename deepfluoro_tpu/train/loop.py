@@ -1,0 +1,356 @@
+"""The training loop: epochs, validation, LR scheduling, checkpoint kinds,
+time-budget exit, and full resume.
+
+Orchestration mirrors reference train.py:104-578 while the per-iteration work
+is a single jitted device program (step.py) fed by the device-side
+augmentation pipeline (data/augment.py). Host responsibilities are reduced
+to: index shuffling, LR state machines, loss logging, and checkpoint I/O.
+
+Checkpoint kinds (train.py:517-542):
+  * periodic checkpoint every ``checkpoint_freq`` epochs;
+  * best-validation model (copy when already saved this epoch);
+  * pre-warm-restart snapshots ``<prefix>_XX.pt`` gated by
+    ``save_after_n_restarts``.
+Stop criteria (train.py:557-567): wall-clock budget with predicted-next-epoch
+check; max restarts (overriding max epochs when enabled); max epochs. Always
+checkpoints on exit (train.py:569-576).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
+from deepfluoro_tpu.data.hdf5 import load_dataset, split_train_valid
+from deepfluoro_tpu.data.pipeline import BatchIterator
+from deepfluoro_tpu.ops.image import calc_pad_amount
+from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree, save_checkpoint
+from deepfluoro_tpu.train.config import TrainConfig
+from deepfluoro_tpu.train.schedules import ReduceLROnPlateau, WarmRestartLR
+from deepfluoro_tpu.train.step import (
+    make_eval_step,
+    make_optimizer,
+    make_train_state,
+    make_train_step,
+)
+from deepfluoro_tpu.utils.io import RunningFloatWriter
+
+
+def _padded_dim(orig_dim: int, pad_dim: int) -> int:
+    if pad_dim > orig_dim:
+        return orig_dim + 2 * calc_pad_amount(pad_dim, orig_dim)
+    return orig_dim
+
+
+def evaluate(eval_step, state, data, aug_cfg, batch_size, key):
+    """Per-image losses over a dataset -> (mean, std). Matches the reference's
+    batch-1 no-grad loop (util.py:116-165) but batched on device; std follows
+    torch.std's N-1 normalization."""
+    losses = []
+    it = BatchIterator(data, batch_size=batch_size, shuffle=False)
+    for projs, segs, lands in it.epoch():
+        prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+        per_sample = eval_step(
+            state, prepared["proj"], prepared["seg"], prepared.get("heats")
+        )
+        losses.append(np.asarray(per_sample))
+    losses = np.concatenate(losses)
+    std = float(losses.std(ddof=1)) if losses.size > 1 else 0.0
+    return float(losses.mean()), std
+
+
+def fit(
+    data_file_path: str,
+    train_pats,
+    cfg: TrainConfig,
+    valid_pats=None,
+    checkpoint_filename: str = "zz_checkpoint.pt",
+    best_valid_filename: str = "zz_best_valid.pt",
+    train_loss_txt: str = "train_iter_loss.txt",
+    valid_loss_txt: str = "valid_loss.txt",
+    verbose: bool = True,
+):
+    """Train a network; returns dict(state=..., cfg=..., best_valid_loss=...).
+
+    ``cfg.num_lands`` should already reflect the dataset (the CLI reads it
+    from the archive like train.py:174-178).
+    """
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    # ----- resume -------------------------------------------------------
+    train_idx = valid_idx = None
+    prev = None
+    load_from_checkpoint = os.path.exists(checkpoint_filename)
+    if load_from_checkpoint:
+        log("loading state from checkpoint...")
+        prev = load_checkpoint(checkpoint_filename)
+        cfg = TrainConfig.from_checkpoint_meta(prev["meta"], base=cfg)
+        if cfg.train_valid_split >= 0:
+            train_idx = list(prev["train-idx"])
+            valid_idx = list(prev["valid-idx"])
+            assert train_idx and valid_idx
+
+    num_restarts = int(prev["lrs-num-restarts"]) if prev else 0
+
+    lrs_is_cos = cfg.lr_sched_meth == "cos"
+    lrs_none = cfg.lr_sched_meth == "none"
+    lrs_plateau = cfg.lr_sched_meth == "plateau"
+    assert lrs_is_cos or lrs_none or lrs_plateau
+
+    # ----- data ---------------------------------------------------------
+    log("initializing training dataset")
+    train_data = load_dataset(data_file_path, train_pats)
+    if cfg.train_valid_split >= 0:
+        train_data, valid_data, train_idx, valid_idx = split_train_valid(
+            train_data,
+            cfg.train_valid_split,
+            train_valid_idx=(train_idx, valid_idx),
+            seed=cfg.seed,
+        )
+    else:
+        assert valid_pats is not None
+        log("initializing validation dataset")
+        valid_data = load_dataset(data_file_path, valid_pats)
+
+    train_ds_len = len(train_data)
+    log("Length of training dataset: {}".format(train_ds_len))
+    log("Length of validation dataset: {}".format(len(valid_data)))
+
+    orig_h, orig_w = train_data.orig_img_shape
+    pad_h = _padded_dim(orig_h, cfg.proj_unet_dim)
+
+    aug_train = AugmentConfig(
+        num_classes=cfg.num_classes,
+        proj_pad_dim=cfg.proj_unet_dim,
+        prob_of_aug=0.5 if cfg.data_aug else 0.0,
+    )
+    aug_eval = AugmentConfig(
+        num_classes=cfg.num_classes,
+        proj_pad_dim=cfg.proj_unet_dim,
+        prob_of_aug=0.0,
+    )
+
+    # ----- model / optimizer / schedules --------------------------------
+    log("creating network")
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_key = jax.random.split(rng)
+    model, state = make_train_state(cfg, init_key, (pad_h, pad_h))
+    tx = make_optimizer(cfg)
+
+    lr_sched = None
+    if cfg.optim_type == "sgd":
+        if lrs_is_cos:
+            lr_sched = WarmRestartLR(
+                cfg.init_lr,
+                init_run_period_epochs=cfg.lrs_num_epochs,
+                growth_factor=cfg.lrs_growth_factor,
+            )
+        elif lrs_plateau:
+            lr_sched = ReduceLROnPlateau(
+                cfg.init_lr, factor=0.1, patience=cfg.lr_patience, cooldown=cfg.lr_cooldown
+            )
+    else:
+        assert lrs_none, "adam/rmsprop only support lr-sched none (train.py:343-352)"
+
+    best_valid_loss = None
+    epoch = 0
+
+    if prev is not None:
+        state = state.replace(
+            params=restore_tree(state.params, prev["model-state-dict"]["params"]),
+            batch_stats=restore_tree(
+                state.batch_stats, prev["model-state-dict"]["batch_stats"]
+            ),
+            opt_state=restore_tree(state.opt_state, prev["optimizer-state-dict"]),
+        )
+        if lr_sched is not None and prev["scheduler-state-dict"]:
+            lr_sched.load_state_dict(prev["scheduler-state-dict"])
+        bvl = float(prev["best-valid-loss"])
+        best_valid_loss = None if np.isnan(bvl) else bvl
+        epoch = int(prev["epoch"])
+        del prev
+
+    train_step = make_train_step(cfg, model, tx)
+    eval_step = make_eval_step(
+        cfg, model, num_lands_for_loss=0 if cfg.use_dice_valid else None
+    )
+
+    train_iter = BatchIterator(
+        train_data, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed + 1
+    )
+
+    train_loss_out = RunningFloatWriter(train_loss_txt, new_file=not load_from_checkpoint)
+    valid_loss_out = RunningFloatWriter(valid_loss_txt, new_file=not load_from_checkpoint)
+
+    enforce_max_hours = cfg.max_hours > 0
+    enforce_max_num_restarts = cfg.max_num_restarts > 0
+
+    tot_time_hours = 0.0
+    epochs_this_session = 0
+    last_loss = None
+
+    log("Start Training...")
+    keep_training = True
+    while keep_training:
+        epoch_start = time.time()
+        log("Epoch: {:03d}".format(epoch))
+
+        num_batches = 0
+        avg_loss = 0.0
+        running_loss = 0.0
+        running_loss_num_iters = max(1, int(0.05 * train_ds_len))
+        running_loss_iter = 0
+        num_examples_run = 0
+
+        for projs, segs, lands in train_iter.epoch():
+            rng, bkey = jax.random.split(rng)
+            prepared = prepare_batch(aug_train, bkey, projs, segs, lands)
+
+            if lr_sched is not None:
+                lr = lr_sched.get_lr()
+            else:
+                lr = cfg.init_lr
+
+            state, loss = train_step(
+                state, prepared["proj"], prepared["seg"], prepared.get("heats"), lr
+            )
+
+            num_examples_run += int(projs.shape[0])
+            if lr_sched is not None and lrs_is_cos:
+                lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
+
+            l = float(loss)  # host sync, mirrors loss.item() (train.py:430)
+            last_loss = l
+            train_loss_out.write(l)
+            avg_loss += l
+            num_batches += 1
+            running_loss += l
+            running_loss_iter += 1
+            if running_loss_iter == running_loss_num_iters:
+                log("    Running Avg. Loss: {:.6f}".format(running_loss / running_loss_num_iters))
+                running_loss_iter = 0
+                running_loss = 0.0
+
+        avg_loss /= num_batches
+
+        log("  Running validation")
+        rng, vkey = jax.random.split(rng)
+        avg_valid_loss, std_valid_loss = evaluate(
+            eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey
+        )
+        valid_loss_out.write(avg_valid_loss)
+
+        log("  Avg. Training Loss: {:.6f}".format(avg_loss))
+        log("  Validation Loss: {:.6f} +/- {:.6f}".format(avg_valid_loss, std_valid_loss))
+
+        if lr_sched is not None:
+            if lrs_plateau:
+                lr_sched.step(avg_valid_loss)
+            else:
+                lr_sched.step()
+            if lrs_is_cos and lr_sched.just_restarted:
+                log("  Next epoch is warm restart...")
+                num_restarts += 1
+
+        epoch += 1
+
+        new_best_valid = False
+        if best_valid_loss is None or avg_valid_loss < best_valid_loss:
+            best_valid_loss = avg_valid_loss
+            new_best_valid = True
+
+        def save_net(net_path):
+            save_checkpoint(
+                net_path,
+                meta=cfg.to_checkpoint_meta(),
+                params=state.params,
+                batch_stats=state.batch_stats,
+                opt_state=state.opt_state,
+                sched_state=lr_sched.state_dict() if lr_sched is not None else None,
+                epoch=epoch,
+                best_valid_loss=best_valid_loss,
+                last_loss=last_loss,
+                num_restarts=num_restarts,
+                train_idx=train_idx,
+                valid_idx=valid_idx,
+            )
+
+        net_saved_this_epoch_path = None
+        if (epoch % cfg.checkpoint_freq) == 0:
+            log("  Saving checkpoint")
+            save_net(checkpoint_filename)
+            net_saved_this_epoch_path = checkpoint_filename
+
+        if new_best_valid and cfg.save_best_valid:
+            log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
+            if net_saved_this_epoch_path is not None:
+                shutil.copy(net_saved_this_epoch_path, best_valid_filename)
+            else:
+                save_net(best_valid_filename)
+                net_saved_this_epoch_path = best_valid_filename
+
+        if (
+            lrs_is_cos
+            and lr_sched.just_restarted
+            and cfg.save_restart_net_prefix
+            and num_restarts >= cfg.save_after_n_restarts
+        ):
+            restart_net_path = "{}_{:02d}.pt".format(
+                cfg.save_restart_net_prefix, num_restarts - 1
+            )
+            log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
+            if net_saved_this_epoch_path is not None:
+                shutil.copy(net_saved_this_epoch_path, restart_net_path)
+            else:
+                save_net(restart_net_path)
+                net_saved_this_epoch_path = restart_net_path
+
+        this_epoch_hours = (time.time() - epoch_start) / 3600.0
+        log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
+        tot_time_hours += this_epoch_hours
+        epochs_this_session += 1
+        avg_epoch_time_hours = tot_time_hours / epochs_this_session
+        log("  Current average epoch runtime: {:.4f} hours".format(avg_epoch_time_hours))
+
+        if enforce_max_hours:
+            if (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
+                log("  Exiting - did not expect to be able to complete next epoch within time limit!")
+                keep_training = False
+        if enforce_max_num_restarts:
+            if num_restarts >= cfg.max_num_restarts:
+                keep_training = False
+                log("  Exiting - maximum number of restarts performed!")
+        elif epoch >= cfg.max_num_epochs:
+            keep_training = False
+            log("  Exiting - maximum number of epochs performed!")
+
+        if not keep_training:
+            log("    saving checkpoint before exit!")
+            if net_saved_this_epoch_path is None:
+                save_net(checkpoint_filename)
+            elif net_saved_this_epoch_path != checkpoint_filename:
+                shutil.copy(net_saved_this_epoch_path, checkpoint_filename)
+
+    log("Training Hours: {:.4f}".format(tot_time_hours))
+    train_loss_out.close()
+    valid_loss_out.close()
+
+    return {
+        "state": state,
+        "cfg": cfg,
+        "model": model,
+        "best_valid_loss": best_valid_loss,
+        "epoch": epoch,
+        "num_restarts": num_restarts,
+        "train_idx": train_idx,
+        "valid_idx": valid_idx,
+    }

@@ -1,0 +1,220 @@
+"""Jitted train / eval steps.
+
+The reference's per-iteration hot path (train.py:392-432: forward, crop,
+loss, backward, SGD step) becomes a single compiled XLA program:
+``value_and_grad`` over the joint loss, optax update, BN batch-stats
+mutation — one device launch per step, no host sync except the scalar loss
+fetch the loop chooses to make.
+
+The learning rate is an *argument* to the step (a scalar jnp array), because
+the reference drives intra-epoch cosine updates from the loop
+(train.py:427-428); passing it per call avoids recompilation.
+
+Optimizer semantics match torch (train.py:331-351):
+  sgd     : grad += wd*param; buf = m*buf + grad; nesterov: grad += m*buf
+  adam    : L2 weight decay folded into the gradient (torch Adam, not AdamW)
+  rmsprop : wd folded in, momentum on the normalized update
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from deepfluoro_tpu.ops.image import center_crop
+from deepfluoro_tpu.ops.losses import ncc_2d, _DICE_EPS
+from deepfluoro_tpu.train.config import TrainConfig, build_model
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Torch-semantics optimizers; LR is injected per-update via
+    ``optax.inject_hyperparams`` so the host loop can drive schedules."""
+    wd = cfg.wgt_decay
+
+    if cfg.optim_type == "sgd":
+
+        def make(learning_rate):
+            parts = []
+            if wd > 0:
+                parts.append(optax.add_decayed_weights(wd))
+            if cfg.momentum > 0:
+                parts.append(optax.trace(decay=cfg.momentum, nesterov=cfg.nesterov))
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+    elif cfg.optim_type == "adam":
+
+        def make(learning_rate):
+            parts = []
+            if wd > 0:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(optax.scale_by_adam())
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+    elif cfg.optim_type == "rmsprop":
+
+        def make(learning_rate):
+            parts = []
+            if wd > 0:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+            if cfg.momentum > 0:
+                parts.append(optax.trace(decay=cfg.momentum, nesterov=False))
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+    else:
+        raise ValueError("unknown optimizer: {}".format(cfg.optim_type))
+
+    return optax.inject_hyperparams(make)(learning_rate=cfg.init_lr)
+
+
+def make_train_state(cfg: TrainConfig, rng_key, sample_shape) -> tuple[Any, TrainState]:
+    """Initialize model variables and optimizer state.
+
+    sample_shape: (H, W) of the padded network input.
+    """
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, sample_shape[0], sample_shape[1], 1), jnp.float32)
+    variables = model.init(rng_key, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    state = TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state
+
+
+# ---------------------------------------------------------------------------
+# Per-sample losses (needed for the reference's batch-1 validation statistics,
+# util.py:116-165: mean AND std over per-image losses)
+# ---------------------------------------------------------------------------
+
+
+def _per_sample_dice(pred, target, skip_bg: bool):
+    if skip_bg:
+        pred = pred[..., 1:]
+        target = target[..., 1:]
+    nc = pred.shape[-1]
+    num = -2.0 * jnp.sum(target * pred, axis=(1, 2)) + _DICE_EPS
+    den = (
+        jnp.sum(target * target, axis=(1, 2))
+        + jnp.sum(pred * pred, axis=(1, 2))
+        + _DICE_EPS
+    )
+    return jnp.sum(num / den, axis=1) / nc  # (B,)
+
+
+def _per_sample_joint(pred_seg, pred_heats, tgt_seg, tgt_heats, heat_coeff):
+    dice = _per_sample_dice(pred_seg, tgt_seg, skip_bg=False)
+    nccs = ncc_2d(pred_heats, tgt_heats, axes=(1, 2))  # (B, L)
+    heat = jnp.mean((nccs + 1.0) * -0.5, axis=1)  # (B,)
+    return (1.0 - heat_coeff) * dice + heat_coeff * heat
+
+
+def make_train_step(cfg: TrainConfig, model, tx):
+    """Returns jitted train_step(state, proj, seg, heats, lr) -> (state, loss)."""
+    has_lands = cfg.num_lands > 0
+    has_bn = cfg.batch_norm
+
+    def loss_fn(params, batch_stats, proj, seg, heats):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            out, mutated = model.apply(
+                variables, proj, train=True, mutable=["batch_stats"]
+            )
+            new_bs = mutated["batch_stats"]
+        else:
+            out = model.apply(variables, proj, train=True)
+            new_bs = batch_stats
+
+        if has_lands:
+            pred_seg, pred_heats = out
+        else:
+            pred_seg = out
+
+        # crop predictions back to the target (seg) resolution (train.py:414-417)
+        pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
+        if has_lands:
+            pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
+            loss = jnp.mean(
+                _per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff)
+            )
+        else:
+            loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
+        return loss, new_bs
+
+    @jax.jit
+    def train_step(state: TrainState, proj, seg, heats, lr):
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, proj, seg, heats
+        )
+        opt_state = state.opt_state._replace(
+            hyperparams={
+                **state.opt_state.hyperparams,
+                "learning_rate": jnp.asarray(lr, jnp.float32),
+            }
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    return train_step
+
+
+def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = None):
+    """Returns jitted eval_step(state, proj, seg, heats) -> per-sample losses.
+
+    ``num_lands_for_loss=0`` evaluates dice-only even for a joint model
+    (--dice-valid, train.py:448-449).
+    """
+    model_has_lands = cfg.num_lands > 0
+    use_lands = (
+        model_has_lands if num_lands_for_loss is None else num_lands_for_loss > 0
+    )
+
+    @jax.jit
+    def eval_step(state: TrainState, proj, seg, heats):
+        variables = {"params": state.params}
+        if cfg.batch_norm:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, proj, train=False)
+        if model_has_lands:
+            pred_seg, pred_heats = out
+        else:
+            pred_seg = out
+        pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
+        if use_lands:
+            pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
+            return _per_sample_joint(pred_seg, pred_heats, seg, heats, heat_coeff=0.5)
+        return _per_sample_dice(pred_seg, seg, skip_bg=False)
+
+    return eval_step

@@ -1,0 +1,227 @@
+"""End-to-end training tests on the synthetic fixture: loss decreases,
+checkpoints are self-describing, resume restores everything."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+from deepfluoro_tpu.train import (
+    TrainConfig,
+    fit,
+    load_checkpoint,
+    make_eval_step,
+    make_train_state,
+    make_train_step,
+)
+from deepfluoro_tpu.train.checkpoint import restore_tree, save_checkpoint
+from deepfluoro_tpu.train.step import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def fixture_h5(tmp_path_factory):
+    path = tmp_path_factory.mktemp("train") / "synthetic.h5"
+    return write_synthetic_dataset(str(path), num_specimens=3, num_projs=8, img_dim=32)
+
+
+def small_cfg(**kw):
+    base = dict(
+        num_classes=7,
+        batch_size=4,
+        proj_unet_dim=36,
+        optim_type="sgd",
+        init_lr=0.05,
+        momentum=0.9,
+        nesterov=True,
+        wgt_decay=1e-4,
+        lr_sched_meth="plateau",
+        max_num_epochs=2,
+        depth=2,
+        init_feats_exp=3,
+        batch_norm=True,
+        padding=True,
+        no_max_pool=True,
+        num_lands=14,
+        heat_coeff=0.5,
+        train_valid_split=0.8,
+        data_aug=False,
+        checkpoint_freq=1,
+        seed=0,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, fixture_h5):
+        from deepfluoro_tpu.data import AugmentConfig, load_dataset, prepare_batch
+
+        cfg = small_cfg()
+        data = load_dataset(fixture_h5, [1])
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        tx = make_optimizer(cfg)
+        step = make_train_step(cfg, model, tx)
+        aug = AugmentConfig(num_classes=7, proj_pad_dim=36, prob_of_aug=0.0)
+        batch = prepare_batch(
+            aug, jax.random.PRNGKey(1), jnp.asarray(data.projs),
+            jnp.asarray(data.segs), jnp.asarray(data.lands),
+        )
+        losses = []
+        for i in range(12):
+            state, loss = step(state, batch["proj"], batch["seg"], batch["heats"], 0.05)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(losses))
+
+    def test_dice_only_model(self, fixture_h5):
+        from deepfluoro_tpu.data import AugmentConfig, load_dataset, prepare_batch
+
+        cfg = small_cfg(num_lands=0)
+        data = load_dataset(fixture_h5, [1])
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        tx = make_optimizer(cfg)
+        step = make_train_step(cfg, model, tx)
+        aug = AugmentConfig(num_classes=7, proj_pad_dim=36, prob_of_aug=0.0)
+        batch = prepare_batch(
+            aug, jax.random.PRNGKey(1), jnp.asarray(data.projs), jnp.asarray(data.segs)
+        )
+        state, loss = step(state, batch["proj"], batch["seg"], None, 0.05)
+        assert np.isfinite(float(loss))
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, fixture_h5):
+        cfg = small_cfg()
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        path = str(tmp_path / "ck.pt")
+        save_checkpoint(
+            path,
+            meta=cfg.to_checkpoint_meta(),
+            params=state.params,
+            batch_stats=state.batch_stats,
+            opt_state=state.opt_state,
+            sched_state={"lr": 0.01},
+            epoch=7,
+            best_valid_loss=-0.5,
+            num_restarts=2,
+            train_idx=[0, 1, 2],
+            valid_idx=[3],
+        )
+        ck = load_checkpoint(path)
+        assert ck["epoch"] == 7
+        assert ck["lrs-num-restarts"] == 2
+        assert list(ck["train-idx"]) == [0, 1, 2]
+        cfg2 = TrainConfig.from_checkpoint_meta(ck["meta"])
+        assert cfg2.depth == cfg.depth
+        assert cfg2.num_lands == cfg.num_lands
+        assert cfg2.nesterov == cfg.nesterov
+        # params restore bit-exact
+        p2 = restore_tree(state.params, ck["model-state-dict"]["params"])
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state restores into a typed template
+        o2 = restore_tree(state.opt_state, ck["optimizer-state-dict"])
+        for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(o2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_atomic_write_leaves_no_tmp(self, tmp_path):
+        cfg = small_cfg(depth=2, init_feats_exp=2, num_lands=0, batch_norm=False)
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        path = str(tmp_path / "ck.pt")
+        save_checkpoint(path, meta=cfg.to_checkpoint_meta(), params=state.params)
+        assert os.path.exists(path)
+        assert not os.path.exists(path + ".tmp")
+
+
+class TestFit:
+    def test_fit_and_resume(self, tmp_path, fixture_h5):
+        cfg = small_cfg(max_num_epochs=2)
+        ck = str(tmp_path / "check.pt")
+        best = str(tmp_path / "best.pt")
+        tl = str(tmp_path / "train_loss.txt")
+        vl = str(tmp_path / "valid_loss.txt")
+
+        out = fit(
+            fixture_h5, [1, 2], cfg,
+            checkpoint_filename=ck, best_valid_filename=best,
+            train_loss_txt=tl, valid_loss_txt=vl, verbose=False,
+        )
+        assert out["epoch"] == 2
+        assert os.path.exists(ck) and os.path.exists(best)
+        n_train_lines = len(open(tl).readlines())
+        assert n_train_lines > 0
+        assert len(open(vl).readlines()) == 2
+        saved = load_checkpoint(ck)
+        assert saved["epoch"] == 2
+
+        # resume: checkpoint overrides config; trains 2 more epochs
+        cfg_resume = small_cfg(max_num_epochs=4, init_feats_exp=5)  # wrong wf on CLI
+        out2 = fit(
+            fixture_h5, [1, 2], cfg_resume,
+            checkpoint_filename=ck, best_valid_filename=best,
+            train_loss_txt=tl, valid_loss_txt=vl, verbose=False,
+        )
+        # checkpoint meta must have overridden the bogus CLI value
+        assert out2["cfg"].init_feats_exp == 3
+        assert out2["epoch"] == 4
+        # split indices reused
+        assert out2["train_idx"] == out["train_idx"]
+        # loss logs appended, not truncated
+        assert len(open(vl).readlines()) == 4
+        assert len(open(tl).readlines()) > n_train_lines
+
+    def test_fit_explicit_valid_pats(self, tmp_path, fixture_h5):
+        cfg = small_cfg(max_num_epochs=1, train_valid_split=-1.0, lr_sched_meth="none")
+        out = fit(
+            fixture_h5, [1, 2], cfg, valid_pats=[3],
+            checkpoint_filename=str(tmp_path / "c.pt"),
+            best_valid_filename=str(tmp_path / "b.pt"),
+            train_loss_txt=str(tmp_path / "t.txt"),
+            valid_loss_txt=str(tmp_path / "v.txt"),
+            verbose=False,
+        )
+        assert out["epoch"] == 1
+
+    def test_fit_cos_restart_snapshots(self, tmp_path, fixture_h5):
+        cfg = small_cfg(
+            max_num_epochs=3,
+            lr_sched_meth="cos",
+            lrs_num_epochs=1,
+            lrs_growth_factor=1,
+            save_restart_net_prefix=str(tmp_path / "restart"),
+            save_after_n_restarts=0,
+        )
+        out = fit(
+            fixture_h5, [1], cfg,
+            checkpoint_filename=str(tmp_path / "c.pt"),
+            best_valid_filename=str(tmp_path / "b.pt"),
+            train_loss_txt=str(tmp_path / "t.txt"),
+            valid_loss_txt=str(tmp_path / "v.txt"),
+            verbose=False,
+        )
+        assert out["num_restarts"] >= 2
+        # snapshot files <prefix>_XX.pt written (train.py:533-542)
+        assert os.path.exists(str(tmp_path / "restart_00.pt"))
+        assert os.path.exists(str(tmp_path / "restart_01.pt"))
+
+    def test_fit_max_restarts_stop(self, tmp_path, fixture_h5):
+        cfg = small_cfg(
+            max_num_epochs=50,
+            lr_sched_meth="cos",
+            lrs_num_epochs=1,
+            lrs_growth_factor=1,
+            max_num_restarts=2,
+        )
+        out = fit(
+            fixture_h5, [1], cfg,
+            checkpoint_filename=str(tmp_path / "c.pt"),
+            best_valid_filename=str(tmp_path / "b.pt"),
+            train_loss_txt=str(tmp_path / "t.txt"),
+            valid_loss_txt=str(tmp_path / "v.txt"),
+            verbose=False,
+        )
+        assert out["num_restarts"] == 2
+        assert out["epoch"] == 2  # stopped by restarts, not epochs
