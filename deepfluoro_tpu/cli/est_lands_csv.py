@@ -1,0 +1,60 @@
+"""Landmark location estimation CLI — contract-compatible with the reference
+est_lands_csv.py:24-134.
+
+  python -m deepfluoro_tpu.cli.est_lands_csv spec_1_test.h5 nn-heats \
+    --use-seg nn-segs --pat 1 --out spec_1_lands.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import h5py as h5
+import numpy as np
+
+from deepfluoro_tpu.data.hdf5 import get_land_names_from_dataset
+from deepfluoro_tpu.eval.landmarks import detect_landmarks, write_landmarks_csv
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="estimate landmark locations and write to CSV",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("heat_file_path", help="Path to dataset file containing labelings.", type=str)
+    parser.add_argument("heats_group_path", help="H5 group path to heat maps", type=str)
+    parser.add_argument("--out", help="output CSV path", type=str, default="yy_lands_est.csv")
+    parser.add_argument("--pat", help="patient index", type=int)
+    parser.add_argument("--use-seg", help="Path to segmentation dataset used to assist in detection", type=str, default="")
+    parser.add_argument("--no-hdr", help="No CSV header", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from deepfluoro_tpu.utils.platform import select_platform
+
+    select_platform()
+
+    land_names = get_land_names_from_dataset(args.heat_file_path)
+
+    print("reading heatmaps...")
+    with h5.File(args.heat_file_path, "r") as f:
+        heats = f[args.heats_group_path][:]
+        segs = f[args.use_seg][:] if args.use_seg else None
+
+    print("detecting landmark locations...")
+    start = time.time()
+    rows, cols = detect_landmarks(np.asarray(heats), land_names, segs)
+    elapsed = time.time() - start
+    per_land = elapsed / (rows.shape[0] * rows.shape[1])
+
+    write_landmarks_csv(
+        args.out, args.pat, rows, cols, per_land_time=per_land, no_hdr=args.no_hdr
+    )
+
+
+if __name__ == "__main__":
+    main()

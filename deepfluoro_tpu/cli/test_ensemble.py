@@ -1,0 +1,96 @@
+"""Ensemble segmentation + heatmap estimation CLI — contract-compatible with
+the reference test_ensemble.py:20-148.
+
+  python -m deepfluoro_tpu.cli.test_ensemble ipcai_2020_ds_8x.h5 \
+    spec_1_test.h5 --pats 1 --nets yy_best_net.pt [more.pt ...] \
+    [--times times.txt] [--no-gpu] [--batch-size N]
+
+Writes ``nn-segs`` (u1, gzip-9) and ``nn-heats`` plus the ``land-names``
+group to the output HDF5; optional per-image runtimes file.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import h5py as h5
+
+from deepfluoro_tpu.data.hdf5 import (
+    get_land_names_from_dataset,
+    load_dataset,
+    write_land_names,
+)
+from deepfluoro_tpu.infer import load_net_from_checkpoint, seg_dataset_ensemble
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Run ensemble segmentation and heatmap estimation.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    parser.add_argument("input_data_file_path", help="Path to the datafile containing projections", type=str)
+    parser.add_argument("output_data_file_path", help="Path to the output datafile containing segmentations", type=str)
+    parser.add_argument("--nets", help="Paths to the networks used to perform segmentation", type=str, nargs="+")
+    parser.add_argument("--pats", help="comma delimited list of patient IDs used for testing", type=str)
+    parser.add_argument("--no-gpu", help="Only use CPU", action="store_true")
+    parser.add_argument("--times", help="Path to file storing runtimes for each image", type=str, default="")
+    parser.add_argument("--batch-size", help="Images per inference batch (1 matches the reference's timing granularity)", type=int, default=1)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from deepfluoro_tpu.utils.platform import select_platform
+
+    select_platform(no_gpu=args.no_gpu)
+
+    assert args.pats is not None
+    test_pats = [int(i) for i in args.pats.split(",")]
+    assert len(test_pats) > 0
+
+    models_and_vars = []
+    cfg = None
+    for net_path in args.nets:
+        print("  loading state from disk for: {}".format(net_path))
+        model, variables, cfg = load_net_from_checkpoint(net_path)
+        models_and_vars.append((model, variables))
+
+    num_lands = cfg.num_lands
+    land_names = None
+    if num_lands > 0:
+        land_names = get_land_names_from_dataset(args.input_data_file_path)
+        assert len(land_names) == num_lands
+
+    print("initializing testing dataset")
+    test_data = load_dataset(args.input_data_file_path, test_pats, no_seg=True)
+    print("Length of testing dataset: {}".format(len(test_data)))
+
+    print("opening destination file for writing")
+    times: list[float] = []
+    with h5.File(args.output_data_file_path, "w") as f:
+        if land_names:
+            write_land_names(f, land_names)
+        print("running network on projections")
+        seg_dataset_ensemble(
+            test_data,
+            models_and_vars,
+            f,
+            num_lands=num_lands,
+            times=times,
+            batch_size=args.batch_size,
+            pad_img_dim=cfg.proj_unet_dim,
+            num_classes=cfg.num_classes,
+        )
+        print("closing file...")
+        f.flush()
+
+    if args.times:
+        with open(args.times, "w") as times_out:
+            for t in times:
+                times_out.write("{:.6f}\n".format(t))
+            times_out.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,7 @@ class FluoroData:
         return 0 if self.lands is None else self.lands.shape[-1]
 
     def subset(self, indices: Sequence[int]) -> "FluoroData":
-        idx = np.asarray(indices)
+        idx = np.asarray(indices, dtype=np.int64)
         return FluoroData(
             projs=self.projs[idx],
             segs=None if self.segs is None else self.segs[idx],
@@ -191,6 +191,11 @@ def split_train_valid(
     n = len(data)
     num_train = int(math.ceil(train_valid_split * n))
     num_valid = n - num_train
+    if num_valid == 0:
+        raise ValueError(
+            "train_valid_split={} leaves an empty validation set for {} samples; "
+            "lower the split or provide explicit --valid-pats".format(train_valid_split, n)
+        )
 
     if (
         train_valid_idx is None

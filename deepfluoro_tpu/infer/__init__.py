@@ -1,0 +1,13 @@
+from deepfluoro_tpu.infer.ensemble import (
+    load_net_from_checkpoint,
+    seg_dataset_ensemble,
+    stack_variables,
+    test_dataset_ensemble,
+)
+
+__all__ = [
+    "load_net_from_checkpoint",
+    "stack_variables",
+    "seg_dataset_ensemble",
+    "test_dataset_ensemble",
+]

@@ -1,0 +1,246 @@
+"""Ensemble inference as one compiled program.
+
+The reference loops over checkpoints per image (util.py:293-377,
+test_ensemble.py): forward each net, average softmax seg outputs, min-max
+normalize each net's heatmaps per image before averaging, argmax the averaged
+masks, write ``nn-segs`` (u1, gzip-9) and ``nn-heats`` to HDF5, recording
+per-image wall-clock times (the paper's latency metric).
+
+TPU-native design: all K checkpoints' parameters are stacked into one pytree
+and the forward is ``vmap``-ed over the stacked axis, so the whole ensemble
+for a whole *batch* of images is a single XLA program — K net forwards fuse
+into batched convs that keep the MXU busy, and the average/argmax fuse in.
+The ensemble axis can also be sharded across devices (parallel/sharding.py).
+
+Checkpoints are self-describing: the architecture is rebuilt from stored
+hyperparameters exactly like test_ensemble.py:61-98.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
+from deepfluoro_tpu.data.hdf5 import FluoroData
+from deepfluoro_tpu.data.pipeline import BatchIterator
+from deepfluoro_tpu.ops.image import center_crop
+from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree
+from deepfluoro_tpu.train.config import TrainConfig, build_model
+from deepfluoro_tpu.train.step import make_train_state
+
+
+def load_net_from_checkpoint(path: str, verbose: bool = True):
+    """Rebuild (model, variables, cfg) purely from a checkpoint file
+    (contract of test_ensemble.py:61-107)."""
+    ck = load_checkpoint(path)
+    cfg = TrainConfig.from_checkpoint_meta(ck["meta"])
+    if verbose:
+        print("  loading unet params from checkpoint state dict...")
+        print("             num. classes: {}".format(cfg.num_classes))
+        print("                    depth: {}".format(cfg.depth))
+        print("        init. feats. exp.: {}".format(cfg.init_feats_exp))
+        print("              batch norm.: {}".format(cfg.batch_norm))
+        print("         unet do pad img.: {}".format(cfg.padding))
+        print("              no max pool: {}".format(cfg.no_max_pool))
+        print("    reflect pad img. dim.: {}".format(cfg.proj_unet_dim))
+        print("            unet use res.: {}".format(cfg.use_res))
+        print("         unet block depth: {}".format(cfg.block_depth))
+        print("               batch size: {}".format(cfg.batch_size))
+        print("              num. lands.: {}".format(cfg.num_lands))
+        print("          Last Epoch: {}".format(ck["epoch"]))
+        print("           Last Loss: {}".format(ck["loss"]))
+        print("    Best Valid. Loss: {}".format(ck["best-valid-loss"]))
+
+    model = build_model(cfg)
+    # init a template at a small size just to get the pytree structure
+    _, state = make_train_state(cfg, jax.random.PRNGKey(0), (16, 16))
+    params = restore_tree(state.params, ck["model-state-dict"]["params"])
+    batch_stats = restore_tree(state.batch_stats, ck["model-state-dict"]["batch_stats"])
+    variables = {"params": params}
+    if ck["model-state-dict"]["batch_stats"]:
+        variables["batch_stats"] = batch_stats
+    return model, variables, cfg
+
+
+def stack_variables(variables_list):
+    """Stack K compatible variable pytrees along a new leading axis for vmap.
+    The reference instead runs a python loop per net (util.py:330-356)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *variables_list)
+
+
+def _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands):
+    """(K-stacked vars, (B,H,W,1) proj) -> averaged seg probs + heats.
+
+    Per-net heatmap min-max normalization happens per image over all
+    landmark channels (util.py:345-356: .min()/.max() are over the full
+    (1,L,H,W) tensor of that image).
+    """
+
+    def one_net(variables):
+        out = model.apply(variables, proj, train=False)
+        if num_lands > 0:
+            seg, heats = out
+        else:
+            seg, heats = out, None
+        seg = center_crop(seg, orig_hw)
+        if heats is not None:
+            heats = center_crop(heats, orig_hw)
+            hmin = jnp.min(heats, axis=(1, 2, 3), keepdims=True)
+            hmax = jnp.max(heats, axis=(1, 2, 3), keepdims=True)
+            heats = (heats - hmin) / (hmax - hmin)
+        return seg, heats
+
+    segs, heats = jax.vmap(one_net)(stacked_vars)  # (K, B, H, W, C/L)
+    avg_seg = jnp.mean(segs, axis=0)
+    avg_heats = jnp.mean(heats, axis=0) if num_lands > 0 else None
+    pred_labels = jnp.argmax(avg_seg, axis=-1).astype(jnp.uint8)
+    return avg_seg, avg_heats, pred_labels
+
+
+def make_ensemble_forward(model, num_lands: int, orig_hw):
+    """Jitted fn(stacked_vars, proj) -> (avg_seg, avg_heats|None, labels)."""
+
+    @jax.jit
+    def fwd(stacked_vars, proj):
+        return _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands)
+
+    return fwd
+
+
+def seg_dataset_ensemble(
+    data: FluoroData,
+    models_and_vars,
+    h5_f,
+    num_lands: int = 0,
+    times: list | None = None,
+    batch_size: int = 1,
+    pad_img_dim: int = 0,
+    num_classes: int = 7,
+):
+    """Run the ensemble over a dataset and write ``nn-segs`` / ``nn-heats``
+    (reference util.py:293-377; file contract incl. dtype/chunks/gzip-9).
+
+    models_and_vars: list of (model, variables) from load_net_from_checkpoint;
+    all architectures must match (they do in the documented workflow).
+    """
+    orig_hw = data.orig_img_shape
+    n = len(data)
+
+    dst_ds = h5_f.create_dataset(
+        "nn-segs",
+        (n, *orig_hw),
+        dtype="u1",
+        chunks=(1, *orig_hw),
+        compression="gzip",
+        compression_opts=9,
+    )
+    dst_heats_ds = None
+    if num_lands > 0:
+        dst_heats_ds = h5_f.create_dataset(
+            "nn-heats",
+            (n, num_lands, *orig_hw),
+            chunks=(1, 1, *orig_hw),
+            compression="gzip",
+            compression_opts=9,
+        )
+
+    model = models_and_vars[0][0]
+    stacked = stack_variables([v for _, v in models_and_vars])
+    fwd = make_ensemble_forward(model, num_lands, orig_hw)
+
+    aug_cfg = AugmentConfig(
+        num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,
+        include_heat_map=False,
+    )
+
+    it = BatchIterator(data, batch_size=batch_size, shuffle=False, device_resident=True)
+    key = jax.random.PRNGKey(0)
+
+    write_i = 0
+    for projs, _, _ in it.epoch():
+        start_time = time.time()
+        prepared = prepare_batch(aug_cfg, key, projs)
+        _, avg_heats, pred_labels = fwd(stacked, prepared["proj"])
+        pred_labels = jax.block_until_ready(pred_labels)
+        stop_time = time.time()
+
+        b = int(projs.shape[0])
+        if times is not None:
+            # per-image share of the batch wall-clock (batch 1 == reference)
+            times.extend([(stop_time - start_time) / b] * b)
+
+        dst_ds[write_i : write_i + b] = np.asarray(pred_labels)
+        if dst_heats_ds is not None:
+            # NHWC -> (B, L, R, C) for the HDF5 contract
+            dst_heats_ds[write_i : write_i + b] = np.transpose(
+                np.asarray(avg_heats), (0, 3, 1, 2)
+            )
+        write_i += b
+
+    assert write_i == n
+
+
+def test_dataset_ensemble(
+    data: FluoroData,
+    models_and_vars,
+    num_lands: int = 0,
+    dice_only: bool = False,
+    batch_size: int = 1,
+    pad_img_dim: int = 0,
+    num_classes: int = 7,
+):
+    """Ensemble validation-loss evaluation (reference util.py:167-241):
+    averaged seg/heat predictions -> per-image loss -> (mean, std).
+
+    NOTE (replicated semantics): unlike seg_dataset_ensemble, the loss-eval
+    path does NOT min-max normalize per-net heatmaps (util.py:216-222)."""
+    from deepfluoro_tpu.train.step import _per_sample_dice, _per_sample_joint
+
+    orig_hw = data.orig_img_shape
+    model = models_and_vars[0][0]
+    stacked = stack_variables([v for _, v in models_and_vars])
+    use_lands = (num_lands > 0) and not dice_only
+
+    @jax.jit
+    def eval_batch(stacked_vars, proj, seg, heats):
+        def one_net(variables):
+            out = model.apply(variables, proj, train=False)
+            if num_lands > 0:
+                s, h = out
+            else:
+                s, h = out, None
+            s = center_crop(s, orig_hw)
+            if h is not None:
+                h = center_crop(h, orig_hw)
+            return s, h
+
+        segs_k, heats_k = jax.vmap(one_net)(stacked_vars)
+        avg_seg = jnp.mean(segs_k, axis=0)
+        if use_lands:
+            avg_heats = jnp.mean(heats_k, axis=0)
+            return _per_sample_joint(avg_seg, avg_heats, seg, heats, heat_coeff=0.5)
+        return _per_sample_dice(avg_seg, seg, skip_bg=False)
+
+    aug_cfg = AugmentConfig(
+        num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,
+    )
+    it = BatchIterator(data, batch_size=batch_size, shuffle=False)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for projs, segs, lands in it.epoch():
+        prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+        losses.append(
+            np.asarray(
+                eval_batch(
+                    stacked, prepared["proj"], prepared["seg"], prepared.get("heats")
+                )
+            )
+        )
+    losses = np.concatenate(losses)
+    std = float(losses.std(ddof=1)) if losses.size > 1 else 0.0
+    return float(losses.mean()), std

@@ -30,7 +30,8 @@ class TestSoftDice:
         t[:, 6:8, 6:8, 0] = 0.0
         t[:, 6:8, 6:8, 2] = 1.0
         loss = soft_dice_loss(jnp.asarray(t), jnp.asarray(t), skip_bg=False)
-        assert float(loss) == pytest.approx(-1.0, abs=1e-5)
+        # eps=1e-4 in num+den biases tiny classes slightly away from -1
+        assert float(loss) == pytest.approx(-1.0, abs=1e-4)
 
     def test_empty_vs_empty_replicates_reference_quirk(self):
         # (+eps)/(+eps) = +1 for a both-empty class: the reference comment
