@@ -73,16 +73,18 @@ class TestSoftDice:
 
 
 class TestNCC:
-    def test_self_correlation_is_one(self, rng):
+    def test_self_correlation_is_n_minus_one_over_n(self, rng):
+        # reference quirk (ncc.py:30-38): denominator N*sd with sample (N-1)
+        # std makes self-NCC = (N-1)/N, not exactly 1
         x = rng.random((3, 10, 12)).astype(np.float32)
         out = np.asarray(ncc_2d(jnp.asarray(x), jnp.asarray(x)))
         assert out.shape == (3,)
-        np.testing.assert_allclose(out, 1.0, atol=1e-4)
+        np.testing.assert_allclose(out, 119.0 / 120.0, atol=1e-4)
 
     def test_negated_correlation(self, rng):
         x = rng.random((10, 12)).astype(np.float32)
         out = float(ncc_2d(jnp.asarray(x), jnp.asarray(-x)))
-        assert out == pytest.approx(-1.0, abs=1e-4)
+        assert out == pytest.approx(-119.0 / 120.0, abs=1e-4)
 
     def test_zero_input_is_zero(self):
         x = np.random.default_rng(1).random((8, 8)).astype(np.float32)
@@ -101,7 +103,7 @@ class TestNCC:
         x = rng.random((2, 8, 8, 5)).astype(np.float32)
         out = np.asarray(ncc_2d(jnp.asarray(x), jnp.asarray(x), axes=(1, 2)))
         assert out.shape == (2, 5)
-        np.testing.assert_allclose(out, 1.0, atol=1e-4)
+        np.testing.assert_allclose(out, 63.0 / 64.0, atol=1e-4)
 
     def test_sample_std_uses_n_minus_one(self, rng):
         """The denominator is N * sd(N-1 norm) + 1e-8 (ncc.py:30-38)."""
@@ -137,8 +139,9 @@ class TestJointLoss:
 
     def test_heatmap_ncc_range(self, rng):
         h = rng.random((2, 8, 8, 3)).astype(np.float32)
-        # identical heatmaps -> ncc 1 -> loss (1+1)*-0.5 = -1
-        assert float(heatmap_ncc_loss(jnp.asarray(h), jnp.asarray(h))) == pytest.approx(-1.0, abs=1e-4)
+        # identical heatmaps -> ncc (N-1)/N -> loss ((N-1)/N + 1) * -0.5
+        want = -(63.0 / 64.0 + 1.0) * 0.5
+        assert float(heatmap_ncc_loss(jnp.asarray(h), jnp.asarray(h))) == pytest.approx(want, abs=1e-4)
         # zero prediction vs target -> ncc 0 -> loss -0.5
         z = np.zeros_like(h)
         assert float(heatmap_ncc_loss(jnp.asarray(z), jnp.asarray(h))) == pytest.approx(-0.5, abs=1e-5)
