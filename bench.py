@@ -1,0 +1,199 @@
+"""Benchmark: fluoro frames/sec/chip at the 8x-downsample IPCAI configuration.
+
+Measures the TPU-native inference path on the flagship model (depth-6 wf-5
+U-Net, batch norm, learned downsampling, padding, joint 7-class seg +
+14-landmark heads, 192x192 input, bfloat16 compute) — the full per-frame
+device program: reflect-pad + z-norm + forward + argmax, matching what
+seg_dataset_ensemble times in the reference (util.py:321-366: H2D + forward
++ argmax, excluding HDF5 writes).
+
+Baseline: the same architecture transcribed to PyTorch (float32) on CPU —
+the reference stack's non-GPU deployment target. The baseline measurement is
+cached in bench_baseline.json so repeated bench runs only time the JAX path.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+IMG = 180  # 8x archive frames are ~180^2 (1436/8); padded to 192
+PAD = 192
+BATCH = 8
+N_CLASSES = 7
+N_LANDS = 14
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def bench_jax() -> float:
+    import jax
+
+    # persistent compile cache: the depth-6 program is expensive to compile
+    # over the remote-compile tunnel; cache it across bench runs
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import jax.numpy as jnp
+
+    from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
+    from deepfluoro_tpu.train import TrainConfig, build_model
+
+    cfg = TrainConfig(
+        num_classes=N_CLASSES, depth=6, init_feats_exp=5, batch_norm=True,
+        padding=True, no_max_pool=True, num_lands=N_LANDS, proj_unet_dim=PAD,
+        compute_dtype="bfloat16",
+    )
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+
+    dummy = jnp.zeros((1, PAD, PAD, 1), jnp.float32)
+    # jit the init: eager init dispatches hundreds of tiny ops (very slow
+    # over a remote-device tunnel) and a jitted init hits the compile cache
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, train=False)
+    )(jax.random.PRNGKey(0), dummy)
+
+    aug = AugmentConfig(
+        num_classes=N_CLASSES, proj_pad_dim=PAD, prob_of_aug=0.0,
+        include_heat_map=False,
+    )
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def infer(variables, projs):
+        prepared = prepare_batch(aug, key, projs)
+        seg, heats = model.apply(variables, prepared["proj"], train=False)
+        labels = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+        return labels
+
+    projs = jnp.asarray(rng.random((BATCH, IMG, IMG), np.float32))
+
+    # warmup / compile; np.asarray forces a real device round-trip (some
+    # remote backends return from block_until_ready before execution ends)
+    _ = np.asarray(infer(variables, projs))
+
+    best = 0.0
+    for _trial in range(3):
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            labels = infer(variables, projs)
+        _ = np.asarray(labels)  # drain the stream
+        dt = time.perf_counter() - t0
+        best = max(best, BATCH * iters / dt)
+    return best
+
+
+def _torch_unet(torch, nn):
+    """Reference-equivalent architecture in torch (independent transcription
+    of the paper config for a like-for-like speed baseline)."""
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, padding=1)
+            self.b1 = nn.BatchNorm2d(cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, padding=1)
+            self.b2 = nn.BatchNorm2d(cout)
+            self.res = nn.Conv2d(cin, cout, 1)
+
+        def forward(self, x):
+            y = self.b1(torch.relu(self.c1(x)))
+            y = self.b2(torch.relu(self.c2(y)))
+            return y + self.res(x)
+
+    class Net(nn.Module):
+        def __init__(self, depth=6, wf=5):
+            super().__init__()
+            chans = [2 ** (wf + i) for i in range(depth)]
+            self.downs = nn.ModuleList()
+            self.pools = nn.ModuleList()
+            cin = 1
+            for i, c in enumerate(chans):
+                self.downs.append(Block(cin, c))
+                cin = c
+                if i != depth - 1:
+                    self.pools.append(nn.Conv2d(c, c, 2, stride=2))
+            self.ups = nn.ModuleList()
+            self.upblocks = nn.ModuleList()
+            for i in reversed(range(depth - 1)):
+                self.ups.append(nn.ConvTranspose2d(cin, chans[i], 2, stride=2))
+                self.upblocks.append(Block(cin, chans[i]))
+                cin = chans[i]
+            self.seg = nn.Conv2d(cin, N_CLASSES, 1, bias=False)
+            self.l1 = nn.Conv2d(cin + N_CLASSES, N_LANDS + N_CLASSES, 1, bias=False)
+            self.l2 = nn.Conv2d(N_LANDS + N_CLASSES, N_LANDS, 1, bias=False)
+
+        def forward(self, x):
+            skips = []
+            for i, d in enumerate(self.downs):
+                x = d(x)
+                if i != len(self.downs) - 1:
+                    skips.append(x)
+                    x = self.pools[i](x)
+            for up, ub, sk in zip(self.ups, self.upblocks, reversed(skips)):
+                x = torch.cat([up(x), sk], dim=1)
+                x = ub(x)
+            seg_logits = self.seg(x)
+            seg = torch.softmax(seg_logits, dim=1)
+            h = torch.cat([x, seg_logits], dim=1)
+            heats = self.l2(self.l1(h))
+            return seg, heats
+
+    return Net()
+
+
+def bench_torch_cpu() -> float:
+    import torch
+    import torch.nn as nn
+
+    net = _torch_unet(torch, nn).eval()
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(rng.random((1, 1, PAD, PAD)).astype(np.float32))
+
+    with torch.no_grad():
+        net(x)  # warmup
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            seg, heats = net(x)
+            torch.argmax(seg, dim=1)
+        dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def get_torch_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return float(json.load(f)["torch_cpu_frames_per_sec"])
+    fps = bench_torch_cpu()
+    try:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"torch_cpu_frames_per_sec": fps, "config": "depth6 wf5 192x192 f32 batch1"}, f)
+    except OSError:
+        pass
+    return fps
+
+
+def main():
+    baseline = get_torch_baseline()
+    fps = bench_jax()
+    print(
+        json.dumps(
+            {
+                "metric": "fluoro_frames_per_sec_per_chip_8x",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

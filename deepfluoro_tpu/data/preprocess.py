@@ -1,0 +1,204 @@
+"""Full-resolution -> preprocessed pipeline as fused device-side programs.
+
+The reference *describes* this preprocessing but does not implement it
+(README.md:84-95): crop 50 px from each border (collimator effects),
+Beer-Lambert log transform (bone-is-dark -> bone-is-bright), rotate 180
+degrees when the DICOM metadata says the patient is not "up"
+(``rot-180-for-up``), and 2x/4x/8x/16x downsampling. Segmentations are
+downsampled to the same grid (the reference ray-casts them server-side;
+direct downsampling "should also work and may yield smoother labelings",
+README.md:93-95 — we downsample directly with nearest sampling).
+
+Here the whole chain is one jitted XLA program per (shape, factor), so
+full-res inference (BASELINE configs 4-5) can run crop -> log -> rotate ->
+downsample -> U-Net -> argmax as a single compiled program
+(``make_fused_fullres_infer``).
+
+Full-res archive schema: hdf5_layouts/Readme.md:16-93.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BORDER_CROP_PX = 50  # README.md:84
+
+
+def beer_lambert_log(proj: jnp.ndarray, eps: float = 1.0e-6) -> jnp.ndarray:
+    """Approximate line-integral conversion: mu*l = log(I0) - log(I), with I0
+    taken as the per-image max intensity. Maps bone-dark to bone-bright
+    (README.md:86-88)."""
+    i0 = jnp.max(proj)
+    p = jnp.maximum(proj, eps)
+    return jnp.log(i0 + eps) - jnp.log(p)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def preprocess_projection(
+    img: jnp.ndarray,
+    ds_factor: int,
+    rot_180: bool = False,
+    is_seg: bool = False,
+) -> jnp.ndarray:
+    """Crop borders -> (log) -> (rot180) -> downsample one (H, W) frame.
+
+    Intensity frames are resized with linear (area-like) interpolation;
+    label maps with nearest so labels stay discrete.
+    """
+    h, w = img.shape
+    img = img[BORDER_CROP_PX : h - BORDER_CROP_PX, BORDER_CROP_PX : w - BORDER_CROP_PX]
+    if not is_seg:
+        img = beer_lambert_log(img)
+    if rot_180:
+        img = img[::-1, ::-1]
+    hc, wc = img.shape
+    out_h, out_w = hc // ds_factor, wc // ds_factor
+    method = "nearest" if is_seg else "linear"
+    return jax.image.resize(img, (out_h, out_w), method=method)
+
+
+def preprocess_landmarks(
+    lands_xy: np.ndarray,
+    full_hw: tuple[int, int],
+    ds_factor: int,
+    rot_180: bool = False,
+) -> np.ndarray:
+    """Map (2, L) full-res landmark coords through the same geometry:
+    -50 px crop offset, optional 180-degree rotation, divide by factor.
+    Out-of-crop landmarks are NOT marked here — the preprocessed-archive
+    loader applies the bounds->inf rule (hdf5.mark_oob_landmarks_inf)."""
+    h, w = full_hw
+    hc, wc = h - 2 * BORDER_CROP_PX, w - 2 * BORDER_CROP_PX
+    out = np.asarray(lands_xy, np.float64).copy()
+    out[0] -= BORDER_CROP_PX
+    out[1] -= BORDER_CROP_PX
+    if rot_180:
+        out[0] = (wc - 1) - out[0]
+        out[1] = (hc - 1) - out[1]
+    # a full-res pixel block of size f maps to one output pixel; the center
+    # convention of jax.image.resize is (x + 0.5)/f - 0.5
+    out = (out + 0.5) / ds_factor - 0.5
+    return out.astype(np.float32)
+
+
+def full_res_to_preprocessed(
+    src_path: str,
+    dst_path: str,
+    ds_factor: int,
+    spec_id_map: dict[str, int] | None = None,
+    land_names: list[str] | None = None,
+) -> str:
+    """Convert a full-resolution archive into the preprocessed schema
+    (hdf5_layouts/Readme.md:95-117) at the given downsampling factor.
+
+    spec_id_map: {full-res specimen group name -> output index}; defaults to
+    the paper's mapping (README.md:74-80) when those groups exist, else
+    enumeration order.
+    """
+    import h5py as h5
+
+    PAPER_MAP = {
+        "17-1882": 1, "18-1109": 2, "18-0725": 3,
+        "18-2799": 4, "18-2800": 5, "17-1905": 6,
+    }
+
+    with h5.File(src_path, "r") as src, h5.File(dst_path, "w") as dst:
+        spec_names = [k for k in src.keys() if k != "proj-params"]
+        if spec_id_map is None:
+            if all(n in PAPER_MAP for n in spec_names):
+                spec_id_map = {n: PAPER_MAP[n] for n in spec_names}
+            else:
+                spec_id_map = {n: i + 1 for i, n in enumerate(sorted(spec_names))}
+
+        all_land_names = land_names
+        for spec_name in spec_names:
+            spec_g = src[spec_name]
+            projs_g = spec_g["projections"]
+            proj_keys = sorted(projs_g.keys())
+
+            projs_out, segs_out, lands_out = [], [], []
+            for pk in proj_keys:
+                pg = projs_g[pk]
+                img = np.asarray(pg["image/pixels"][:], np.float32)
+                rot = bool(np.asarray(pg["rot-180-for-up"][()]))
+                proj_pp = np.asarray(preprocess_projection(jnp.asarray(img), ds_factor, rot, False))
+                projs_out.append(proj_pp)
+
+                if "gt-seg" in pg:
+                    seg = np.asarray(pg["gt-seg/pixels"][:], np.float32)
+                    seg_pp = np.asarray(preprocess_projection(jnp.asarray(seg), ds_factor, rot, True))
+                    segs_out.append(seg_pp.astype(np.uint8))
+
+                if "gt-landmarks" in pg:
+                    lg = pg["gt-landmarks"]
+                    if all_land_names is None:
+                        all_land_names = sorted(lg.keys())
+                    pts = np.full((2, len(all_land_names)), np.inf, np.float32)
+                    for li, name in enumerate(all_land_names):
+                        if name in lg:
+                            xy = np.asarray(lg[name][:], np.float64).reshape(-1)[:2]
+                            pts[:, li] = preprocess_landmarks(
+                                xy.reshape(2, 1), img.shape, ds_factor, rot
+                            )[:, 0]
+                    lands_out.append(pts)
+
+            og = dst.create_group("{:02d}".format(spec_id_map[spec_name]))
+            og.create_dataset("projs", data=np.stack(projs_out))
+            if segs_out:
+                og.create_dataset("segs", data=np.stack(segs_out))
+            if lands_out:
+                og.create_dataset("lands", data=np.stack(lands_out))
+
+        if all_land_names:
+            lg = dst.create_group("land-names")
+            lg["num-lands"] = len(all_land_names)
+            for li, name in enumerate(all_land_names):
+                lg["land-{:02d}".format(li)] = name
+
+    return dst_path
+
+
+def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int]):
+    """One compiled program: full-res frames -> crop/log/rot/downsample ->
+    reflect-pad + z-norm -> U-Net -> argmax (+heats). BASELINE config 5.
+
+    Returns jitted fn(projs (B, H_full, W_full), rot_flags (B,)) ->
+    (labels (B, h, w) uint8, heats (B, h, w, L) | None).
+    """
+    from deepfluoro_tpu.ops.image import calc_pad_amount, center_crop
+
+    h, w = full_hw
+    hc = (h - 2 * BORDER_CROP_PX) // ds_factor
+    wc = (w - 2 * BORDER_CROP_PX) // ds_factor
+    assert hc == wc, "square frames expected"
+    extra = calc_pad_amount(pad_dim, hc) if pad_dim > hc else 0
+
+    @jax.jit
+    def infer(projs, rot_flags):
+        def prep_one(img, rot):
+            x = img[BORDER_CROP_PX : h - BORDER_CROP_PX, BORDER_CROP_PX : w - BORDER_CROP_PX]
+            x = beer_lambert_log(x)
+            x = jnp.where(rot, x[::-1, ::-1], x)
+            x = jax.image.resize(x, (hc, wc), method="linear")
+            if extra > 0:
+                x = jnp.pad(x, ((extra, extra), (extra, extra)), mode="reflect")
+            x = (x - jnp.mean(x)) / jnp.std(x)
+            return x[..., None]
+
+        x = jax.vmap(prep_one)(projs, rot_flags)
+        out = model.apply(variables, x, train=False)
+        if isinstance(out, tuple):
+            seg, heats = out
+        else:
+            seg, heats = out, None
+        seg = center_crop(seg, (hc, wc))
+        labels = jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+        if heats is not None:
+            heats = center_crop(heats, (hc, wc))
+        return labels, heats
+
+    return infer

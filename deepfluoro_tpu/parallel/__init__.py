@@ -1,0 +1,13 @@
+from deepfluoro_tpu.parallel.mesh import make_mesh
+from deepfluoro_tpu.parallel.sharding import (
+    make_sharded_ensemble_forward,
+    make_sharded_train_step,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_sharded_train_step",
+    "make_sharded_ensemble_forward",
+    "shard_batch",
+]

@@ -1,0 +1,130 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: DP training step,
+ensemble-sharded inference, manual halo exchange, and the driver's
+dryrun_multichip entry."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from deepfluoro_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+from deepfluoro_tpu.parallel.halo import halo_exchange, sharded_conv2d
+from deepfluoro_tpu.train import TrainConfig, make_train_state
+from deepfluoro_tpu.train.step import make_optimizer, make_train_step
+
+
+def small_cfg(**kw):
+    base = dict(
+        num_classes=7, batch_size=8, proj_unet_dim=32, depth=2, init_feats_exp=2,
+        batch_norm=True, padding=True, no_max_pool=True, num_lands=4,
+        optim_type="sgd", init_lr=0.1, momentum=0.9, nesterov=True, wgt_decay=1e-4,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def make_batch(rng, b, h, w, num_lands=4):
+    proj = jnp.asarray(rng.random((b, h, w, 1)), jnp.float32)
+    seg = jnp.asarray(np.eye(7, dtype=np.float32)[rng.integers(0, 7, (b, h, w))])
+    heats = jnp.asarray(rng.random((b, h, w, num_lands)), jnp.float32)
+    return proj, seg, heats
+
+
+class TestMesh:
+    def test_1d_default(self):
+        mesh = make_mesh()
+        assert mesh.axis_names == ("data",)
+        assert mesh.devices.size == 8
+
+    def test_2d(self):
+        mesh = make_mesh({"data": 4, "spatial": 2})
+        assert mesh.devices.shape == (4, 2)
+
+    def test_bad_factorization(self):
+        with pytest.raises(AssertionError):
+            make_mesh({"data": 3})
+
+
+class TestShardedTrainStep:
+    def test_dp_matches_single_device(self, rng):
+        """The 8-way DP step must produce the same loss and parameters as the
+        unsharded step on the identical batch."""
+        cfg = small_cfg()
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        tx = make_optimizer(cfg)
+        proj, seg, heats = make_batch(rng, 8, 32, 32)
+
+        # single-device reference
+        step1 = make_train_step(cfg, model, tx)
+        s1, loss1 = step1(state, proj, seg, heats, 0.1)
+
+        # 8-way data parallel
+        mesh = make_mesh({"data": 8})
+        stepN, place = make_sharded_train_step(cfg, model, tx, mesh)
+        stateN = place(state)
+        pN, sN, hN = shard_batch(mesh, proj, seg, heats)
+        s2, loss2 = stepN(stateN, pN, sN, hN, 0.1)
+
+        assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_dp_spatial_2d_mesh(self, rng):
+        cfg = small_cfg()
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        tx = make_optimizer(cfg)
+        proj, seg, heats = make_batch(rng, 4, 32, 32)
+
+        step1 = make_train_step(cfg, model, tx)
+        s1, loss1 = step1(state, proj, seg, heats, 0.1)
+
+        mesh = make_mesh({"data": 4, "spatial": 2})
+        stepN, place = make_sharded_train_step(cfg, model, tx, mesh, spatial=True)
+        stateN = place(state)
+        pN, sN, hN = shard_batch(mesh, proj, seg, heats, spatial=True)
+        s2, loss2 = stepN(stateN, pN, sN, hN, 0.1)
+        assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
+
+
+class TestHalo:
+    def test_halo_exchange_matches_reflect_pad(self, rng):
+        mesh = make_mesh({"spatial": 8})
+        x = jnp.asarray(rng.random((2, 32, 16, 3)), jnp.float32)
+        out = halo_exchange(mesh, x, halo=1, axis="spatial")
+        # each of 8 shards of 4 rows gains 2 rows -> global H = 32 + 16
+        assert out.shape == (2, 32 + 16, 16, 3)
+        # interior shard halos must equal neighbor rows: shard 1's first halo
+        # row is global row 3 (last row of shard 0)
+        out_np = np.asarray(out)
+        x_np = np.asarray(x)
+        shard1 = out_np[:, 6:12]  # shard 1 occupies rows 6..11 (4+2 rows)
+        np.testing.assert_allclose(shard1[:, 0], x_np[:, 3])  # halo from above
+        np.testing.assert_allclose(shard1[:, -1], x_np[:, 8])  # halo from below
+
+    def test_sharded_conv_matches_unsharded(self, rng):
+        mesh = make_mesh({"spatial": 8})
+        x = jnp.asarray(rng.random((2, 32, 16, 3)), jnp.float32)
+        k = jnp.asarray(rng.random((3, 3, 3, 5)), jnp.float32)
+
+        got = sharded_conv2d(mesh, x, k, axis="spatial")
+
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        want = jax.lax.conv_general_dilated(
+            xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+
+    def test_dryrun_multichip_odd(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(1)
