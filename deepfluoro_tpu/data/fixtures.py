@@ -99,6 +99,86 @@ def make_specimen(
     return projs, segs, lands
 
 
+def _itk_image_group(g, pixels: np.ndarray, spacing):
+    """ITK-style image group: dir-mat, origin, pixels, spacing
+    (hdf5_layouts/Readme.md:20-28)."""
+    nd = pixels.ndim
+    g.create_dataset("pixels", data=pixels)
+    g.create_dataset("dir-mat", data=np.eye(nd, dtype=np.float64))
+    g.create_dataset("origin", data=np.zeros((nd,), np.float64))
+    g.create_dataset("spacing", data=np.asarray(spacing, np.float64))
+
+
+def write_synthetic_fullres_dataset(
+    path: str,
+    num_specimens: int = 1,
+    num_projs: int = 3,
+    img_dim: int = 148,  # > 2*50 border crop
+    vol_dim: int = 16,
+    land_names=DEFAULT_LAND_NAMES,
+    seed: int = 0,
+) -> str:
+    """Synthetic full-resolution archive with the schema of
+    hdf5_layouts/Readme.md:16-93 (proj-params, per-specimen vol / vol-seg /
+    vol-landmarks / projections/NNN/{image, gt-seg, gt-landmarks, gt-poses,
+    rot-180-for-up})."""
+    rng = np.random.default_rng(seed)
+    spec_names = ["17-1882", "18-1109", "18-0725", "18-2799", "18-2800", "17-1905"]
+    with h5.File(path, "w") as f:
+        pp = f.create_group("proj-params")
+        intrinsic = np.array(
+            [[5000.0, 0.0, img_dim / 2], [0.0, 5000.0, img_dim / 2], [0.0, 0.0, 1.0]]
+        )
+        pp.create_dataset("intrinsic", data=intrinsic)
+        pp.create_dataset("extrinsic", data=np.eye(4))
+        pp["num-cols"] = img_dim
+        pp["num-rows"] = img_dim
+        pp["pixel-col-spacing"] = 0.194
+        pp["pixel-row-spacing"] = 0.194
+
+        for s in range(num_specimens):
+            sg = f.create_group(spec_names[s])
+            vol = rng.random((vol_dim, vol_dim, vol_dim)).astype(np.float32)
+            _itk_image_group(sg.create_group("vol"), vol, [1.0, 1.0, 1.0])
+
+            vseg = sg.create_group("vol-seg")
+            vol_seg = rng.integers(0, 7, (vol_dim, vol_dim, vol_dim)).astype(np.uint8)
+            _itk_image_group(vseg.create_group("image"), vol_seg, [1.0, 1.0, 1.0])
+            labels_def = vseg.create_group("labels-def")
+            for li, nm in enumerate(
+                ["left-hemipelvis", "right-hemipelvis", "vertebrae",
+                 "upper-sacrum", "left-femur", "right-femur"], start=1
+            ):
+                labels_def[str(li)] = nm
+
+            vl = sg.create_group("vol-landmarks")
+            for nm in land_names:
+                vl.create_dataset(nm, data=rng.random(3) * vol_dim)
+
+            projs_g = sg.create_group("projections")
+            # raw intensities: bone is DARK pre-log
+            core_projs, core_segs, core_lands = make_specimen(
+                rng, num_projs, img_dim, 7, land_names
+            )
+            for n in range(num_projs):
+                pg = projs_g.create_group("{:03d}".format(n))
+                raw = np.exp(-core_projs[n]).astype(np.float32)
+                _itk_image_group(pg.create_group("image"), raw, [0.194, 0.194])
+                _itk_image_group(pg.create_group("gt-seg"), core_segs[n], [0.194, 0.194])
+                gl = pg.create_group("gt-landmarks")
+                for li, nm in enumerate(land_names):
+                    gl.create_dataset(nm, data=core_lands[n, :, li].astype(np.float64))
+                gp = pg.create_group("gt-poses")
+                for k in ("cam-to-pelvis-vol", "cam-to-left-femur-vol", "cam-to-right-femur-vol"):
+                    pose = np.eye(4)
+                    pose[:3, 3] = rng.random(3) * 10
+                    gp.create_dataset(k, data=pose)
+                gp["left-femur-good-fov"] = int(rng.random() > 0.3)
+                gp["right-femur-good-fov"] = int(rng.random() > 0.3)
+                pg["rot-180-for-up"] = int(n % 2 == 0)
+    return path
+
+
 def write_synthetic_dataset(
     path: str,
     num_specimens: int = 2,

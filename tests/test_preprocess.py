@@ -1,0 +1,169 @@
+"""Tests for the full-resolution preprocessing pipeline, examples overlays,
+and projective geometry."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deepfluoro_tpu.data.fixtures import (
+    DEFAULT_LAND_NAMES,
+    write_synthetic_dataset,
+    write_synthetic_fullres_dataset,
+)
+from deepfluoro_tpu.data.hdf5 import load_dataset
+from deepfluoro_tpu.data.preprocess import (
+    BORDER_CROP_PX,
+    beer_lambert_log,
+    full_res_to_preprocessed,
+    preprocess_landmarks,
+    preprocess_projection,
+)
+from deepfluoro_tpu.viz.projective import (
+    focal_len_from_intrinsic,
+    invert_rigid,
+    pixel_index_to_detector_pt,
+    vol_to_camera_xform,
+)
+
+
+@pytest.fixture(scope="module")
+def fullres_h5(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fr") / "full.h5"
+    return write_synthetic_fullres_dataset(str(p), num_specimens=1, num_projs=3, img_dim=148)
+
+
+class TestBeerLambert:
+    def test_inverts_attenuation(self, rng):
+        mu = rng.random((16, 16)).astype(np.float32) + 0.1
+        raw = np.exp(-mu)  # bone (high mu) is dark
+        out = np.asarray(beer_lambert_log(jnp.asarray(raw)))
+        # bone should now be bright: monotonically increasing with mu
+        flat_mu, flat_out = mu.ravel(), out.ravel()
+        order = np.argsort(flat_mu)
+        assert (np.diff(flat_out[order]) > -1e-5).all()
+
+    def test_max_maps_to_zero(self, rng):
+        raw = rng.random((8, 8)).astype(np.float32) + 0.5
+        out = np.asarray(beer_lambert_log(jnp.asarray(raw)))
+        assert out.min() == pytest.approx(0.0, abs=1e-4)
+        assert out[np.unravel_index(raw.argmax(), raw.shape)] == pytest.approx(0.0, abs=1e-4)
+
+
+class TestPreprocessProjection:
+    def test_crop_and_downsample_shape(self, rng):
+        img = jnp.asarray(rng.random((148, 148)), jnp.float32)
+        out = preprocess_projection(img, 2)
+        assert out.shape == (24, 24)  # (148-100)/2
+
+    def test_rot180(self, rng):
+        img = np.zeros((148, 148), np.float32) + 1.0
+        img[55, 60] = 5.0  # inside crop region; cropped coords (5, 10)
+        out_no = np.asarray(preprocess_projection(jnp.asarray(img), 1, False, True))
+        out_rot = np.asarray(preprocess_projection(jnp.asarray(img), 1, True, True))
+        assert out_no[5, 10] == 5.0
+        assert out_rot[48 - 1 - 5, 48 - 1 - 10] == 5.0
+
+    def test_seg_stays_discrete(self, rng):
+        seg = rng.integers(0, 7, (148, 148)).astype(np.float32)
+        out = np.asarray(preprocess_projection(jnp.asarray(seg), 4, False, True))
+        assert set(np.unique(out)) <= set(float(v) for v in range(7))
+
+
+class TestPreprocessLandmarks:
+    def test_crop_offset_and_scale(self):
+        lands = np.array([[150.0], [250.0]])  # (x, y) full-res
+        out = preprocess_landmarks(lands, (1536, 1536), 8, rot_180=False)
+        # cropped: (100, 200); downsample: (100+0.5)/8-0.5 = 12.0625
+        assert out[0, 0] == pytest.approx((100 + 0.5) / 8 - 0.5, abs=1e-4)
+        assert out[1, 0] == pytest.approx((200 + 0.5) / 8 - 0.5, abs=1e-4)
+
+    def test_rot180(self):
+        lands = np.array([[150.0], [250.0]])
+        out = preprocess_landmarks(lands, (1536, 1536), 1, rot_180=True)
+        assert out[0, 0] == pytest.approx(1436 - 1 - 100)
+        assert out[1, 0] == pytest.approx(1436 - 1 - 200)
+
+
+class TestFullResConversion:
+    def test_roundtrip_schema(self, fullres_h5, tmp_path):
+        out = str(tmp_path / "pp.h5")
+        full_res_to_preprocessed(fullres_h5, out, ds_factor=2)
+        data = load_dataset(out, [1])
+        assert data.projs.shape == (3, 24, 24)
+        assert data.segs.shape == (3, 24, 24)
+        assert data.lands.shape == (3, 2, 14)
+        from deepfluoro_tpu.data.hdf5 import get_land_names_from_dataset
+
+        # full-res gt-landmarks groups iterate alphabetically
+        assert get_land_names_from_dataset(out) == sorted(DEFAULT_LAND_NAMES)
+
+    def test_bone_is_bright_after_log(self, fullres_h5, tmp_path):
+        out = str(tmp_path / "pp2.h5")
+        full_res_to_preprocessed(fullres_h5, out, ds_factor=2)
+        data = load_dataset(out, [1])
+        # synthetic raw frames are exp(-mu) with bone bright in mu; after the
+        # log transform bone pixels (seg>0) should be brighter than bg
+        for i in range(3):
+            bone = data.projs[i][data.segs[i] > 0]
+            bg = data.projs[i][data.segs[i] == 0]
+            if bone.size and bg.size:
+                assert bone.mean() > bg.mean()
+
+
+class TestExamplesOverlays:
+    def test_preproc_overlays(self, tmp_path):
+        h5p = write_synthetic_dataset(str(tmp_path / "ds.h5"), num_specimens=2, num_projs=3, img_dim=32)
+        from deepfluoro_tpu.viz.examples import make_preproc_overlays
+
+        written = make_preproc_overlays(h5p, str(tmp_path))
+        assert len(written) == 2
+        import os
+
+        assert all(os.path.getsize(p) > 0 for p in written)
+
+    def test_full_res_overlays(self, fullres_h5, tmp_path):
+        from deepfluoro_tpu.viz.examples import make_full_res_overlays
+
+        written = make_full_res_overlays(fullres_h5, str(tmp_path), overlay_ds_factor=0.25)
+        assert len(written) == 1
+
+
+class TestProjectiveGeometry:
+    def test_invert_rigid(self, rng):
+        # random rotation via QR
+        q, _ = np.linalg.qr(rng.random((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        x = np.eye(4)
+        x[:3, :3] = q
+        x[:3, 3] = rng.random(3) * 10
+        np.testing.assert_allclose(invert_rigid(x) @ x, np.eye(4), atol=1e-10)
+        np.testing.assert_allclose(invert_rigid(x), np.linalg.inv(x), atol=1e-10)
+
+    def test_focal_len(self):
+        intr = np.array([[5000.0, 0, 768], [0, 5000.0, 768], [0, 0, 1]])
+        assert focal_len_from_intrinsic(intr, 0.194) == pytest.approx(970.0)
+
+    def test_principal_point_maps_to_axis(self):
+        intr = np.array([[5000.0, 0, 768], [0, 5000.0, 768], [0, 0, 1]])
+        pt = pixel_index_to_detector_pt((768, 768), intr, 0.194, 0.194)
+        assert pt[0] == pytest.approx(0.0)
+        assert pt[1] == pytest.approx(0.0)
+        assert pt[2] == pytest.approx(-970.0)
+
+    def test_vol_to_camera_is_inverse(self, rng):
+        q, _ = np.linalg.qr(rng.random((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        cam_to_vol = np.eye(4)
+        cam_to_vol[:3, :3] = q
+        cam_to_vol[:3, 3] = rng.random(3)
+        np.testing.assert_allclose(
+            vol_to_camera_xform(cam_to_vol) @ cam_to_vol, np.eye(4), atol=1e-10
+        )
+
+    def test_vtk_gated_error(self, fullres_h5):
+        from deepfluoro_tpu.viz.projective import view_3d_scene
+
+        with pytest.raises(ImportError, match="vtk"):
+            view_3d_scene(fullres_h5, "17-1882")
