@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
 from deepfluoro_tpu.data.hdf5 import FluoroData
+from deepfluoro_tpu.native import write_dataset_direct
 from deepfluoro_tpu.data.pipeline import BatchIterator
 from deepfluoro_tpu.ops.image import center_crop
 from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree
@@ -174,11 +175,13 @@ def seg_dataset_ensemble(
             # per-image share of the batch wall-clock (batch 1 == reference)
             times.extend([(stop_time - start_time) / b] * b)
 
-        dst_ds[write_i : write_i + b] = np.asarray(pred_labels)
+        # parallel-compress + direct chunk writes (native/chunkzip.cpp)
+        # instead of h5py's serial gzip filter pipeline
+        write_dataset_direct(dst_ds, write_i, np.asarray(pred_labels))
         if dst_heats_ds is not None:
             # NHWC -> (B, L, R, C) for the HDF5 contract
-            dst_heats_ds[write_i : write_i + b] = np.transpose(
-                np.asarray(avg_heats), (0, 3, 1, 2)
+            write_dataset_direct(
+                dst_heats_ds, write_i, np.transpose(np.asarray(avg_heats), (0, 3, 1, 2))
             )
         write_i += b
 
