@@ -72,9 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from deepfluoro_tpu.utils.platform import select_platform
+    from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
 
     select_platform(no_gpu=args.no_gpu)
+    enable_compilation_cache()
 
     assert args.train_pats is not None
     train_pats = [int(i) for i in args.train_pats.split(",")]

@@ -211,6 +211,28 @@ def fit(
         running_loss_iter = 0
         num_examples_run = 0
 
+        # Losses are fetched lazily so device dispatch runs ahead of the
+        # host (the reference syncs every step via loss.item(), train.py:430).
+        # Values drain at each 5%-progress boundary and at epoch end, which
+        # preserves the per-iteration loss-file contract.
+        pending_losses = []
+
+        def drain_losses():
+            nonlocal avg_loss, num_batches, running_loss, running_loss_iter, last_loss
+            for dev_loss in pending_losses:
+                l = float(dev_loss)
+                last_loss = l
+                train_loss_out.write(l)
+                avg_loss += l
+                num_batches += 1
+                running_loss += l
+                running_loss_iter += 1
+                if running_loss_iter == running_loss_num_iters:
+                    log("    Running Avg. Loss: {:.6f}".format(running_loss / running_loss_num_iters))
+                    running_loss_iter = 0
+                    running_loss = 0.0
+            pending_losses.clear()
+
         for projs, segs, lands in train_iter.epoch():
             rng, bkey = jax.random.split(rng)
             prepared = prepare_batch(aug_train, bkey, projs, segs, lands)
@@ -223,23 +245,16 @@ def fit(
             state, loss = train_step(
                 state, prepared["proj"], prepared["seg"], prepared.get("heats"), lr
             )
+            pending_losses.append(loss)
 
             num_examples_run += int(projs.shape[0])
             if lr_sched is not None and lrs_is_cos:
                 lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
 
-            l = float(loss)  # host sync, mirrors loss.item() (train.py:430)
-            last_loss = l
-            train_loss_out.write(l)
-            avg_loss += l
-            num_batches += 1
-            running_loss += l
-            running_loss_iter += 1
-            if running_loss_iter == running_loss_num_iters:
-                log("    Running Avg. Loss: {:.6f}".format(running_loss / running_loss_num_iters))
-                running_loss_iter = 0
-                running_loss = 0.0
+            if len(pending_losses) >= running_loss_num_iters:
+                drain_losses()
 
+        drain_losses()
         avg_loss /= num_batches
 
         log("  Running validation")

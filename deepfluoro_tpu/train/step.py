@@ -164,7 +164,7 @@ def make_train_step(cfg: TrainConfig, model, tx):
             loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
         return loss, new_bs
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, proj, seg, heats, lr):
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, proj, seg, heats

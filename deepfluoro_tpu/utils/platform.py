@@ -12,6 +12,26 @@ from __future__ import annotations
 import os
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (first compiles of the
+    depth-6 programs are expensive, especially over remote-device tunnels)."""
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "DFT_COMPILE_CACHE",
+            os.path.join(
+                os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                "deepfluoro_tpu_xla",
+            ),
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def select_platform(no_gpu: bool = False) -> None:
     """Call before any jax computation. no_gpu forces the CPU backend."""
     import jax
