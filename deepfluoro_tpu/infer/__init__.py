@@ -1,5 +1,6 @@
 from deepfluoro_tpu.infer.ensemble import (
     load_net_from_checkpoint,
+    seg_dataset,
     seg_dataset_ensemble,
     stack_variables,
     test_dataset_ensemble,
@@ -8,6 +9,7 @@ from deepfluoro_tpu.infer.ensemble import (
 __all__ = [
     "load_net_from_checkpoint",
     "stack_variables",
+    "seg_dataset",
     "seg_dataset_ensemble",
     "test_dataset_ensemble",
 ]

@@ -188,6 +188,32 @@ def seg_dataset_ensemble(
     assert write_i == n
 
 
+def seg_dataset(
+    data: FluoroData,
+    model_and_vars,
+    h5_f,
+    num_lands: int = 0,
+    batch_size: int = 1,
+    pad_img_dim: int = 0,
+    num_classes: int = 7,
+):
+    """Single-network variant (reference util.py:243-291) — an ensemble of
+    one; same nn-segs/nn-heats output contract. NOTE: the single-net
+    reference path does NOT min-max normalize heatmaps (util.py:286) while
+    the ensemble path does (util.py:345-356); since normalization is
+    monotonic per-image it does not affect landmark argmax decoding, and we
+    keep the (documented) ensemble behavior here for consistency."""
+    return seg_dataset_ensemble(
+        data,
+        [model_and_vars],
+        h5_f,
+        num_lands=num_lands,
+        batch_size=batch_size,
+        pad_img_dim=pad_img_dim,
+        num_classes=num_classes,
+    )
+
+
 def test_dataset_ensemble(
     data: FluoroData,
     models_and_vars,

@@ -1,0 +1,103 @@
+"""Tests for ensemble loss evaluation, the single-net seg_dataset alias, and
+the fused full-resolution inference program."""
+
+import h5py as h5
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepfluoro_tpu.data.fixtures import (
+    write_synthetic_dataset,
+    write_synthetic_fullres_dataset,
+)
+from deepfluoro_tpu.data.hdf5 import load_dataset
+from deepfluoro_tpu.data.preprocess import make_fused_fullres_infer
+from deepfluoro_tpu.infer import seg_dataset
+from deepfluoro_tpu.infer import test_dataset_ensemble as ensemble_eval
+from deepfluoro_tpu.train import TrainConfig, build_model, make_train_state
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inf2")
+    h5p = write_synthetic_dataset(str(d / "ds.h5"), num_specimens=1, num_projs=6, img_dim=32)
+    cfg = TrainConfig(
+        num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+        no_max_pool=True, num_lands=14, proj_unet_dim=36,
+    )
+    model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return d, h5p, cfg, model, variables
+
+
+class TestEnsembleEval:
+    def test_mean_std_shapes(self, setup):
+        _, h5p, cfg, model, variables = setup
+        data = load_dataset(h5p, [1])
+        mean, std = ensemble_eval(
+            data, [(model, variables), (model, variables)],
+            num_lands=14, batch_size=3, pad_img_dim=36,
+        )
+        assert np.isfinite(mean) and np.isfinite(std)
+        # joint loss bounded in [-1, 1]
+        assert -1.0 <= mean <= 1.0
+
+    def test_dice_only_flag(self, setup):
+        _, h5p, cfg, model, variables = setup
+        data = load_dataset(h5p, [1])
+        mean, std = ensemble_eval(
+            data, [(model, variables)], num_lands=14, dice_only=True,
+            batch_size=3, pad_img_dim=36,
+        )
+        assert np.isfinite(mean)
+
+    def test_identical_nets_match_single(self, setup):
+        """Averaging K identical nets must equal the single net's loss."""
+        _, h5p, cfg, model, variables = setup
+        data = load_dataset(h5p, [1])
+        m1, _ = ensemble_eval(data, [(model, variables)], num_lands=14,
+                                      batch_size=2, pad_img_dim=36)
+        m3, _ = ensemble_eval(data, [(model, variables)] * 3, num_lands=14,
+                                      batch_size=2, pad_img_dim=36)
+        assert m1 == pytest.approx(m3, rel=1e-4)
+
+
+class TestSegDatasetSingle:
+    def test_output_contract(self, setup, tmp_path):
+        _, h5p, cfg, model, variables = setup
+        data = load_dataset(h5p, [1], no_seg=True)
+        p = str(tmp_path / "out.h5")
+        with h5.File(p, "w") as f:
+            seg_dataset(data, (model, variables), f, num_lands=14,
+                        batch_size=2, pad_img_dim=36)
+        with h5.File(p, "r") as f:
+            assert f["nn-segs"].shape == (6, 32, 32)
+            assert f["nn-heats"].shape == (6, 14, 32, 32)
+
+
+class TestFusedFullRes:
+    def test_end_to_end_shapes_and_match(self, tmp_path):
+        fr = write_synthetic_fullres_dataset(
+            str(tmp_path / "fr.h5"), num_specimens=1, num_projs=2, img_dim=148
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+            no_max_pool=True, num_lands=14, proj_unet_dim=28,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (28, 28))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        infer = make_fused_fullres_infer(model, variables, ds_factor=2, pad_dim=28, full_hw=(148, 148))
+
+        with h5.File(fr, "r") as f:
+            pg = f["17-1882/projections"]
+            projs = np.stack([pg["000/image/pixels"][:], pg["001/image/pixels"][:]]).astype(np.float32)
+            rots = np.array([bool(pg["000/rot-180-for-up"][()]), bool(pg["001/rot-180-for-up"][()])])
+
+        labels, heats = infer(jnp.asarray(projs), jnp.asarray(rots))
+        assert labels.shape == (2, 24, 24)
+        assert labels.dtype == jnp.uint8
+        assert heats.shape == (2, 24, 24, 14)
+        assert np.isfinite(np.asarray(heats)).all()
+        assert set(np.unique(np.asarray(labels))) <= set(range(7))
