@@ -51,7 +51,6 @@ from deepfluoro_tpu.ops.heatmap import synthesize_heatmaps
 from deepfluoro_tpu.ops.image import (
     affine_warp,
     calc_pad_amount,
-    center_crop,
     inverse_affine_matrix,
     transform_landmarks,
 )
@@ -120,34 +119,34 @@ def _augment_proj_seg_lands(cfg: AugmentConfig, key, p, s, lands):
         shear = jax.random.uniform(keys[7], (2,), minval=-1.0, maxval=1.0)
         scale = jax.random.uniform(keys[8], minval=0.9, maxval=1.1)
 
-        if cfg.pad_data_for_affine:
-            pad1 = -(-h // 2) + extra  # ceil(h/2) + extra (dataset.py:159-163)
-            pad2 = -(-w // 2) + extra
-        else:
-            pad1 = pad2 = extra
-        p_pad = jnp.pad(p01, ((pad1, pad1), (pad2, pad2)), mode="reflect")
-        hp, wp = p_pad.shape
-
+        # The reference reflect-pads by ceil(dim/2)+extra, warps about the
+        # padded center, then center-crops (dataset.py:158-203). Because the
+        # matrix conjugates cleanly through the frame translation, that is
+        # identical to warping straight into the (h+2*extra) output frame
+        # about the ORIGINAL image center with mirror boundary handling —
+        # ~4x fewer sampled pixels, no padded intermediate. (Identical as
+        # long as displacements stay within one reflection period; the
+        # sampled ranges — rot 5deg, shear 1deg, scale 1.1, translate 20px —
+        # reach at most ~50px, far below the dim/2 period.)
         m = inverse_affine_matrix(
-            (wp * 0.5, hp * 0.5), rot_ang, (trans[0], trans[1]), scale, (shear[0], shear[1])
+            (w * 0.5, h * 0.5), rot_ang, (trans[0], trans[1]), scale, (shear[0], shear[1])
         )
-        p_warp = affine_warp(p_pad, m, order=1)
-        p_warp = center_crop(p_warp, (h + 2 * extra, w + 2 * extra))
+        if cfg.pad_data_for_affine:
+            mode = "mirror"
+        else:
+            mode = "constant"
+        p_warp = affine_warp(
+            p01,
+            m,
+            order=1,
+            out_shape=(h + 2 * extra, w + 2 * extra),
+            out_offset_xy=(-extra, -extra),
+            mode=mode,
+        )
         p = p_warp * (hi - lo) + lo
 
         if s is not None:
-            spad1, spad2 = -(-h // 2), -(-w // 2)
-            s_pad = jnp.pad(
-                s.astype(jnp.float32), ((spad1, spad1), (spad2, spad2)), mode="reflect"
-            )
-            ms = inverse_affine_matrix(
-                (s_pad.shape[1] * 0.5, s_pad.shape[0] * 0.5),
-                rot_ang,
-                (trans[0], trans[1]),
-                scale,
-                (shear[0], shear[1]),
-            )
-            s = center_crop(affine_warp(s_pad, ms, order=0), (h, w))
+            s = affine_warp(s.astype(jnp.float32), m, order=0, mode=mode)
 
         if lands is not None:
             # Exact center of the image warp in index space (see module doc).

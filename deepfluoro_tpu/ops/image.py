@@ -144,30 +144,45 @@ def forward_affine_matrix(inv_matrix: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.inv(m)[:2, :]
 
 
-def affine_warp(img: jnp.ndarray, inv_matrix: jnp.ndarray, order: int = 1) -> jnp.ndarray:
-    """Bilinear affine warp of an (H, W) or (H, W, C) image.
+def affine_warp(
+    img: jnp.ndarray,
+    inv_matrix: jnp.ndarray,
+    order: int = 1,
+    out_shape: tuple[int, int] | None = None,
+    out_offset_xy: tuple[float, float] = (0.0, 0.0),
+    mode: str = "constant",
+) -> jnp.ndarray:
+    """Bilinear/nearest affine warp of an (H, W) or (H, W, C) image.
 
     For each output pixel (x, y) samples the input at
-    ``inv_matrix @ [x+0.5, y+0.5, 1] - 0.5`` with bilinear interpolation and
-    zero fill outside bounds — matching PIL's Image.AFFINE half-pixel-center
-    transform semantics used by the reference (dataset.py:193-198; PIL
-    Geometry.c applies the matrix to pixel centers then subtracts 0.5 before
-    interpolating).
+    ``inv_matrix @ [x+ox+0.5, y+oy+0.5, 1] - 0.5`` — PIL's Image.AFFINE
+    half-pixel-center convention used by the reference (dataset.py:193-198;
+    PIL Geometry.c applies the matrix to pixel centers then subtracts 0.5
+    before interpolating).
+
+    ``out_shape``/``out_offset_xy`` let the output grid extend beyond the
+    input (e.g. warping straight into the reflect-padded training frame);
+    ``mode='mirror'`` equals np.pad-'reflect' boundary handling, which makes
+    a direct warp mathematically identical to the reference's
+    reflect-pad -> warp -> center-crop chain (dataset.py:158-203) while
+    sampling ~4x fewer pixels.
     """
     squeeze = False
     if img.ndim == 2:
         img = img[..., None]
         squeeze = True
     h, w, c = img.shape
-    ys = jnp.arange(h, dtype=jnp.float32) + 0.5
-    xs = jnp.arange(w, dtype=jnp.float32) + 0.5
-    xg, yg = jnp.meshgrid(xs, ys)  # (H, W) each; xg varies along W
+    oh, ow = (h, w) if out_shape is None else out_shape
+    ox, oy = out_offset_xy
+    ys = jnp.arange(oh, dtype=jnp.float32) + 0.5 + oy
+    xs = jnp.arange(ow, dtype=jnp.float32) + 0.5 + ox
+    xg, yg = jnp.meshgrid(xs, ys)  # (oh, ow) each; xg varies along W
     in_x = inv_matrix[0, 0] * xg + inv_matrix[0, 1] * yg + inv_matrix[0, 2] - 0.5
     in_y = inv_matrix[1, 0] * xg + inv_matrix[1, 1] * yg + inv_matrix[1, 2] - 0.5
 
     def warp_chan(chan):
         return jax.scipy.ndimage.map_coordinates(
-            chan, [in_y, in_x], order=order, mode="constant", cval=0.0
+            chan, [in_y, in_x], order=order, mode=mode, cval=0.0
         )
 
     out = jax.vmap(warp_chan, in_axes=2, out_axes=2)(img)
