@@ -74,6 +74,8 @@ class AugmentConfig:
     include_heat_map: bool = True
     heat_sigma: float = 2.5
     max_erase_boxes: int = 5
+    # None = auto (Pallas kernel on TPU backends, XLA elsewhere)
+    use_pallas_warp: bool | None = None
 
 
 def _extra_pad(cfg: AugmentConfig, img_dim: int) -> int:
@@ -135,18 +137,33 @@ def _augment_proj_seg_lands(cfg: AugmentConfig, key, p, s, lands):
             mode = "mirror"
         else:
             mode = "constant"
-        p_warp = affine_warp(
-            p01,
-            m,
-            order=1,
-            out_shape=(h + 2 * extra, w + 2 * extra),
-            out_offset_xy=(-extra, -extra),
-            mode=mode,
-        )
-        p = p_warp * (hi - lo) + lo
 
-        if s is not None:
-            s = affine_warp(s.astype(jnp.float32), m, order=0, mode=mode)
+        use_pallas = cfg.use_pallas_warp
+        if use_pallas is None:
+            from deepfluoro_tpu.ops.pallas.warp import pallas_warp_supported
+
+            use_pallas = mode == "mirror" and pallas_warp_supported()
+
+        if use_pallas:
+            from deepfluoro_tpu.ops.pallas.warp import affine_warp_pallas
+
+            p_warp = affine_warp_pallas(
+                p01, m, order=1,
+                out_shape=(h + 2 * extra, w + 2 * extra),
+                out_offset_xy=(-extra, -extra),
+            )
+            if s is not None:
+                s = affine_warp_pallas(s.astype(jnp.float32), m, order=0)
+        else:
+            p_warp = affine_warp(
+                p01, m, order=1,
+                out_shape=(h + 2 * extra, w + 2 * extra),
+                out_offset_xy=(-extra, -extra),
+                mode=mode,
+            )
+            if s is not None:
+                s = affine_warp(s.astype(jnp.float32), m, order=0, mode=mode)
+        p = p_warp * (hi - lo) + lo
 
         if lands is not None:
             # Exact center of the image warp in index space (see module doc).
