@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--train-valid-split", help="Ratio of training data kept for training; one minus this is validation. Enabled when in [0,1]; overrides valid-pats.", type=float, default=-1.0)
     parser.add_argument("--bf16", help="Use bfloat16 compute on TPU (float32 params)", action="store_true")
     parser.add_argument("--seed", help="PRNG seed", type=int, default=0)
+    parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
+    parser.add_argument("--debug-nans", help="Fault on the first NaN-producing op (jax_debug_nans)", action="store_true")
     return parser
 
 
@@ -130,16 +132,22 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
 
-    fit(
-        args.input_data_file_path,
-        train_pats,
-        cfg,
-        valid_pats=valid_pats,
-        checkpoint_filename=args.checkpoint_net,
-        best_valid_filename=args.best_net,
-        train_loss_txt=args.train_loss_txt,
-        valid_loss_txt=args.valid_loss_txt,
-    )
+    from deepfluoro_tpu.utils.profiling import enable_nan_debugging, profile_trace
+
+    if args.debug_nans:
+        enable_nan_debugging()
+
+    with profile_trace(args.profile_dir):
+        fit(
+            args.input_data_file_path,
+            train_pats,
+            cfg,
+            valid_pats=valid_pats,
+            checkpoint_filename=args.checkpoint_net,
+            best_valid_filename=args.best_net,
+            train_loss_txt=args.train_loss_txt,
+            valid_loss_txt=args.valid_loss_txt,
+        )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Multi-host (multi-process) training support.
+
+The reference is strictly single-process (SURVEY.md §2.3). For pod-scale
+TPU training each host runs one process owning a subset of chips;
+coordination is jax.distributed + the same jit shardings (collectives ride
+ICI within a slice and DCN across slices — put the DCN axis first in the
+mesh, parallel/mesh.py).
+
+Host-side duties here:
+- ``initialize`` wraps jax.distributed.initialize (no-op single-process);
+- ``local_shard_indices`` splits the global example index range into
+  disjoint per-host shards so each host's BatchIterator feeds only its
+  slice of the global batch (host h takes every num_processes-th index);
+- ``global_batch_from_local`` forms a globally-sharded array from per-host
+  local batches via ``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+    """Initialize multi-process JAX when configured; safe no-op otherwise."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def local_shard_indices(n_examples: int, seed: int, epoch: int) -> np.ndarray:
+    """Disjoint shuffled index shard for this process.
+
+    All processes derive the identical global permutation from (seed, epoch)
+    and stride over it by process index, so the union covers every example
+    exactly once per epoch and shards stay equal-sized modulo the remainder.
+    """
+    rng = np.random.default_rng((seed << 20) ^ epoch)
+    perm = rng.permutation(n_examples)
+    return perm[jax.process_index()::jax.process_count()]
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray, spec: P | None = None):
+    """Assemble the global sharded array from this process's local slice of
+    the batch. spec defaults to batch-axis over 'data'."""
+    if spec is None:
+        names = [None] * local_batch.ndim
+        names[0] = "data"
+        spec = P(*names)
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(local_batch)
+    )

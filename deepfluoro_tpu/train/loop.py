@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import signal
 import time
 
 import numpy as np
@@ -198,6 +199,21 @@ def fit(
     epochs_this_session = 0
     last_loss = None
 
+    # graceful-termination: a SIGTERM finishes the current epoch, then the
+    # normal always-checkpoint-on-exit path runs (the reference only covers
+    # the wall-clock budget case, train.py:557-576)
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        log("SIGTERM received - will checkpoint and exit after this epoch")
+        stop_requested["flag"] = True
+
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not the main thread
+
     log("Start Training...")
     keep_training = True
     while keep_training:
@@ -336,6 +352,9 @@ def fit(
         avg_epoch_time_hours = tot_time_hours / epochs_this_session
         log("  Current average epoch runtime: {:.4f} hours".format(avg_epoch_time_hours))
 
+        if stop_requested["flag"]:
+            keep_training = False
+            log("  Exiting - termination requested!")
         if enforce_max_hours:
             if (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
                 log("  Exiting - did not expect to be able to complete next epoch within time limit!")
@@ -358,6 +377,11 @@ def fit(
     log("Training Hours: {:.4f}".format(tot_time_hours))
     train_loss_out.close()
     valid_loss_out.close()
+    if prev_handler is not None:
+        try:
+            signal.signal(signal.SIGTERM, prev_handler)
+        except ValueError:
+            pass
 
     return {
         "state": state,
