@@ -126,15 +126,23 @@ def make_sharded_train_step(cfg: TrainConfig, model, tx, mesh: Mesh, spatial: bo
 
 
 def make_sharded_ensemble_forward(
-    model, num_lands: int, orig_hw, mesh: Mesh, spatial: bool = False
+    model, num_lands: int, orig_hw, mesh: Mesh
 ):
     """Ensemble forward with the stacked-checkpoint axis sharded over
-    'ensemble' and the batch over 'data'. Averaging across nets becomes a
-    psum emitted by the partitioner."""
-    ens = "ensemble" if "ensemble" in mesh.axis_names else None
-    repl = NamedSharding(mesh, P())
+    'ensemble' (and the batch over 'data' when present).
 
-    def fwd(stacked_vars, proj):
+    Built with shard_map + explicit psum rather than GSPMD in/out shardings:
+    the partitioner mishandles the grouped convolutions a vmapped-and-
+    sharded ensemble lowers to, while shard_map keeps each device running
+    its local checkpoints' plain convs and reduces the softmax/heat sums
+    over ICI.
+    """
+    ens = "ensemble"
+    assert ens in mesh.axis_names
+    data = "data" if "data" in mesh.axis_names else None
+    k_total = mesh.shape[ens]
+
+    def local_fwd(stacked_vars, proj):
         def one_net(variables):
             out = model.apply(variables, proj, train=False)
             if num_lands > 0:
@@ -150,23 +158,31 @@ def make_sharded_ensemble_forward(
             return seg, heats
 
         segs, heats = jax.vmap(one_net)(stacked_vars)
-        avg_seg = jnp.mean(segs, axis=0)
-        avg_heats = jnp.mean(heats, axis=0) if num_lands > 0 else None
+        sum_seg = jax.lax.psum(jnp.sum(segs, axis=0), ens)
+        avg_seg = sum_seg / k_total
+        if num_lands > 0:
+            avg_heats = jax.lax.psum(jnp.sum(heats, axis=0), ens) / k_total
+        else:
+            avg_heats = None
         labels = jnp.argmax(avg_seg, axis=-1).astype(jnp.uint8)
         return avg_seg, avg_heats, labels
 
-    # a single sharding acts as a pytree prefix: every stacked leaf gets its
-    # leading (checkpoint) axis sharded over 'ensemble'
-    var_sharding = NamedSharding(mesh, P(ens))
-    proj_sharding = NamedSharding(mesh, _batch_spec(mesh, 4, spatial))
+    batch_spec = P(data, None, None, None)
+    out_batch3 = P(data, None, None)
+    out_batch4 = P(data, None, None, None)
 
-    jit_fwd = jax.jit(
-        fwd,
-        in_shardings=(var_sharding, proj_sharding),
-        out_shardings=(repl, repl if num_lands > 0 else None, repl),
+    fwd = jax.jit(
+        jax.shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(ens), batch_spec),
+            out_specs=(out_batch4, out_batch4 if num_lands > 0 else None, out_batch3),
+        )
     )
+
+    var_sharding = NamedSharding(mesh, P(ens))
 
     def place_stacked(stacked_vars):
         return jax.device_put(stacked_vars, var_sharding)
 
-    return jit_fwd, place_stacked
+    return fwd, place_stacked

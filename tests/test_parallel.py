@@ -51,19 +51,22 @@ class TestShardedTrainStep:
         """The 8-way DP step must produce the same loss and parameters as the
         unsharded step on the identical batch."""
         cfg = small_cfg()
+        # two independent (deterministically identical) states: the single-
+        # device step donates its input buffers
         model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        _, state_b = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
         tx = make_optimizer(cfg)
         proj, seg, heats = make_batch(rng, 8, 32, 32)
+
+        mesh = make_mesh({"data": 8})
+        stepN, place = make_sharded_train_step(cfg, model, tx, mesh)
+        stateN = place(state_b)
+        pN, sN, hN = shard_batch(mesh, proj, seg, heats)
 
         # single-device reference
         step1 = make_train_step(cfg, model, tx)
         s1, loss1 = step1(state, proj, seg, heats, 0.1)
 
-        # 8-way data parallel
-        mesh = make_mesh({"data": 8})
-        stepN, place = make_sharded_train_step(cfg, model, tx, mesh)
-        stateN = place(state)
-        pN, sN, hN = shard_batch(mesh, proj, seg, heats)
         s2, loss2 = stepN(stateN, pN, sN, hN, 0.1)
 
         assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
@@ -73,16 +76,18 @@ class TestShardedTrainStep:
     def test_dp_spatial_2d_mesh(self, rng):
         cfg = small_cfg()
         model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        _, state_b = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
         tx = make_optimizer(cfg)
         proj, seg, heats = make_batch(rng, 4, 32, 32)
+
+        mesh = make_mesh({"data": 4, "spatial": 2})
+        stepN, place = make_sharded_train_step(cfg, model, tx, mesh, spatial=True)
+        stateN = place(state_b)
+        pN, sN, hN = shard_batch(mesh, proj, seg, heats, spatial=True)
 
         step1 = make_train_step(cfg, model, tx)
         s1, loss1 = step1(state, proj, seg, heats, 0.1)
 
-        mesh = make_mesh({"data": 4, "spatial": 2})
-        stepN, place = make_sharded_train_step(cfg, model, tx, mesh, spatial=True)
-        stateN = place(state)
-        pN, sN, hN = shard_batch(mesh, proj, seg, heats, spatial=True)
         s2, loss2 = stepN(stateN, pN, sN, hN, 0.1)
         assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
 
@@ -114,6 +119,37 @@ class TestHalo:
             xp, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestEnsembleSharding:
+    def test_matches_unsharded(self, rng):
+        from deepfluoro_tpu.infer.ensemble import stack_variables
+        from deepfluoro_tpu.parallel import make_mesh
+        from deepfluoro_tpu.parallel.sharding import make_sharded_ensemble_forward
+        from deepfluoro_tpu.train import make_train_state
+
+        cfg = small_cfg()
+        variables_list = []
+        model = None
+        for k in range(4):
+            model, state = make_train_state(cfg, jax.random.PRNGKey(k), (32, 32))
+            variables_list.append({"params": state.params, "batch_stats": state.batch_stats})
+        stacked = stack_variables(variables_list)
+        proj = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
+
+        # unsharded reference
+        from deepfluoro_tpu.infer.ensemble import make_ensemble_forward
+
+        fwd1 = make_ensemble_forward(model, 4, (32, 32))
+        seg1, heats1, labels1 = fwd1(stacked, proj)
+
+        mesh = make_mesh({"ensemble": 4, "data": 2})
+        fwdN, place = make_sharded_ensemble_forward(model, 4, (32, 32), mesh)
+        stackedN = place(stacked)
+        segN, heatsN, labelsN = fwdN(stackedN, proj)
+
+        np.testing.assert_allclose(np.asarray(seg1), np.asarray(segN), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(labels1), np.asarray(labelsN))
 
 
 class TestGraftEntry:

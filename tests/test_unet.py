@@ -118,10 +118,10 @@ class TestParamStructure:
         for i in reversed(range(depth - 1)):
             cout = 2 ** (wf + i)
             cin = 2 ** (wf + i + 1)
-            want += cin // 2 * cin * 4 + cout if False else 0
             # ConvTranspose2d(in, out, k=2, s=2): out*in*4 + out
             want += cout * cin * 4 + cout
             want += conv_block_params(cin, cout, block_depth, True, True)
+            prev = cout
         want += n_classes * prev  # seg 1x1, no bias
         # lands head: first 1x1 (feat + n_classes) -> num_lands + n_classes, then -> num_lands
         want += (num_lands + n_classes) * (prev + n_classes)
