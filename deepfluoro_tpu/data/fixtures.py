@@ -64,17 +64,22 @@ def make_specimen(
         bg = np.kron(bg, np.ones((8, 8), np.float32))[:h, :w]
         img = 0.4 + 0.2 * bg
 
+        # consistent anatomy-like layout: each class occupies a fixed sector
+        # around the image center (with modest jitter) and has a distinct
+        # intensity, so leave-one-specimen-out generalization is learnable —
+        # mirroring how real bone structures keep consistent relative
+        # positions and attenuation.
         class_centers = {}
         for c in range(1, num_classes):
-            frac = 0.5 + 0.5 * (c - 1) / max(1, num_classes - 2)
-            side = -1 if c % 2 == 1 else 1  # odd classes left, even right
-            cx = w / 2 + side * w * rng.uniform(0.12, 0.3)
-            cy = h * rng.uniform(0.25, 0.75)
-            ry = h * rng.uniform(0.08, 0.16) * frac
-            rx = w * rng.uniform(0.08, 0.16) * frac
+            ang = 2 * np.pi * (c - 1) / max(1, num_classes - 1)
+            cx = w / 2 + 0.26 * w * np.cos(ang) + rng.uniform(-0.04, 0.04) * w
+            cy = h / 2 + 0.26 * h * np.sin(ang) + rng.uniform(-0.04, 0.04) * h
+            ry = h * rng.uniform(0.10, 0.15)
+            rx = w * rng.uniform(0.10, 0.15)
             m = _ellipse_mask(h, w, cy, cx, ry, rx)
             segs[n][m] = c
-            img[m] += 0.35  # log-transformed convention: bone is bright
+            # bone is bright (log-transformed convention), per-class contrast
+            img[m] += 0.22 + 0.07 * c
             class_centers[c] = (cy, cx, ry, rx)
 
         img += rng.normal(0, 0.01, (h, w)).astype(np.float32)
