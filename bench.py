@@ -24,7 +24,7 @@ import numpy as np
 
 IMG = 180  # 8x archive frames are ~180^2 (1436/8); padded to 192
 PAD = 192
-BATCH = 8
+BATCH = 32  # batch-size study (BASELINE.md): 32 saturates the chip (+30% vs 8)
 N_CLASSES = 7
 N_LANDS = 14
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
