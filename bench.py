@@ -24,7 +24,7 @@ import numpy as np
 
 IMG = 180  # 8x archive frames are ~180^2 (1436/8); padded to 192
 PAD = 192
-BATCH = 32  # batch-size study (BASELINE.md): 32 saturates the chip (+30% vs 8)
+BATCH = 32  # batch-size study (BASELINE.md): throughput saturates around 32
 N_CLASSES = 7
 N_LANDS = 14
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
@@ -77,13 +77,19 @@ def bench_jax() -> float:
     # remote backends return from block_until_ready before execution ends)
     _ = np.asarray(infer(variables, projs))
 
+    def drain(labels):
+        # force execution via a SCALAR readback: the TPU stream is serial, so
+        # fetching one element drains every queued step without paying a
+        # full-array D2H transfer over the tunnel inside the timed region
+        return np.asarray(labels[0, 0, 0])
+
     best = 0.0
     for _trial in range(3):
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
             labels = infer(variables, projs)
-        _ = np.asarray(labels)  # drain the stream
+        drain(labels)
         dt = time.perf_counter() - t0
         best = max(best, BATCH * iters / dt)
     return best
@@ -149,32 +155,37 @@ def _torch_unet(torch, nn):
 
 
 def bench_torch_cpu() -> float:
+    """Torch-CPU baseline at the SAME batch size as the TPU measurement so
+    the ratio is like-for-like (CPU also amortizes over the batch)."""
     import torch
     import torch.nn as nn
 
     net = _torch_unet(torch, nn).eval()
     rng = np.random.default_rng(0)
-    x = torch.from_numpy(rng.random((1, 1, PAD, PAD)).astype(np.float32))
+    x = torch.from_numpy(rng.random((BATCH, 1, PAD, PAD)).astype(np.float32))
 
     with torch.no_grad():
         net(x)  # warmup
-        iters = 3
+        iters = 2
         t0 = time.perf_counter()
         for _ in range(iters):
             seg, heats = net(x)
             torch.argmax(seg, dim=1)
         dt = time.perf_counter() - t0
-    return iters / dt
+    return BATCH * iters / dt
 
 
 def get_torch_baseline() -> float:
+    config = "depth6 wf5 192x192 f32 batch{}".format(BATCH)
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return float(json.load(f)["torch_cpu_frames_per_sec"])
+            cached = json.load(f)
+        if cached.get("config") == config:
+            return float(cached["torch_cpu_frames_per_sec"])
     fps = bench_torch_cpu()
     try:
         with open(BASELINE_CACHE, "w") as f:
-            json.dump({"torch_cpu_frames_per_sec": fps, "config": "depth6 wf5 192x192 f32 batch1"}, f)
+            json.dump({"torch_cpu_frames_per_sec": fps, "config": config}, f)
     except OSError:
         pass
     return fps

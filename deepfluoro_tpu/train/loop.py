@@ -180,14 +180,19 @@ def fit(
         epoch = int(prev["epoch"])
         del prev
 
-    train_step = make_train_step(cfg, model, tx)
+    from deepfluoro_tpu.train.step import make_fused_train_step
+
+    fused_step = make_fused_train_step(cfg, model, tx, aug_train)
     eval_step = make_eval_step(
         cfg, model, num_lands_for_loss=0 if cfg.use_dice_valid else None
     )
 
-    train_iter = BatchIterator(
-        train_data, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed + 1
-    )
+    # dataset resident on device once; each step is ONE dispatch gathering
+    # its batch by index inside the fused program
+    projs_all = jnp.asarray(train_data.projs)
+    segs_all = None if train_data.segs is None else jnp.asarray(train_data.segs)
+    lands_all = None if train_data.lands is None else jnp.asarray(train_data.lands)
+    shuffle_rng = np.random.default_rng(cfg.seed + 1)
 
     train_loss_out = RunningFloatWriter(train_loss_txt, new_file=not load_from_checkpoint)
     valid_loss_out = RunningFloatWriter(valid_loss_txt, new_file=not load_from_checkpoint)
@@ -249,21 +254,23 @@ def fit(
                     running_loss = 0.0
             pending_losses.clear()
 
-        for projs, segs, lands in train_iter.epoch():
-            rng, bkey = jax.random.split(rng)
-            prepared = prepare_batch(aug_train, bkey, projs, segs, lands)
+        order = np.arange(train_ds_len)
+        shuffle_rng.shuffle(order)
+        for start in range(0, train_ds_len, cfg.batch_size):
+            idx = order[start : start + cfg.batch_size]
 
             if lr_sched is not None:
                 lr = lr_sched.get_lr()
             else:
                 lr = cfg.init_lr
 
-            state, loss = train_step(
-                state, prepared["proj"], prepared["seg"], prepared.get("heats"), lr
+            state, loss = fused_step(
+                state, projs_all, segs_all, lands_all,
+                idx, epoch * train_ds_len + start, lr,
             )
             pending_losses.append(loss)
 
-            num_examples_run += int(projs.shape[0])
+            num_examples_run += int(idx.shape[0])
             if lr_sched is not None and lrs_is_cos:
                 lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
 

@@ -190,6 +190,81 @@ def make_train_step(cfg: TrainConfig, model, tx):
     return train_step
 
 
+def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
+    """One-dispatch-per-step training: batch gather from the device-resident
+    dataset, PRNG fold-in, the full augmentation pipeline, and the train
+    step fused into a single jitted program.
+
+    Signature: fused(state, projs_all, segs_all, lands_all, idx, step_seed,
+    lr) -> (state, loss). The dataset arrays live on device and are passed
+    by reference each call; only ``idx`` (batch,) and two scalars cross the
+    host boundary. This collapses the ~6 device dispatches per step of the
+    naive loop — significant on remote/tunneled devices where each dispatch
+    pays an RTT, and it lets XLA schedule augmentation and forward together.
+    """
+    from deepfluoro_tpu.data.augment import prepare_batch
+
+    has_lands = cfg.num_lands > 0
+    has_bn = cfg.batch_norm
+
+    def loss_fn(params, batch_stats, proj, seg, heats):
+        variables = {"params": params}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+            out, mutated = model.apply(variables, proj, train=True, mutable=["batch_stats"])
+            new_bs = mutated["batch_stats"]
+        else:
+            out = model.apply(variables, proj, train=True)
+            new_bs = batch_stats
+        if has_lands:
+            pred_seg, pred_heats = out
+        else:
+            pred_seg = out
+        pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
+        if has_lands:
+            pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
+            loss = jnp.mean(_per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff))
+        else:
+            loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
+        return loss, new_bs
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fused(state: TrainState, projs_all, segs_all, lands_all, idx, step_seed, lr):
+        projs = jnp.take(projs_all, idx, axis=0)
+        segs = jnp.take(segs_all, idx, axis=0) if segs_all is not None else None
+        lands = jnp.take(lands_all, idx, axis=0) if lands_all is not None else None
+
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step_seed)
+        prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params,
+            state.batch_stats,
+            prepared["proj"],
+            prepared.get("seg"),
+            prepared.get("heats"),
+        )
+        opt_state = state.opt_state._replace(
+            hyperparams={
+                **state.opt_state.hyperparams,
+                "learning_rate": jnp.asarray(lr, jnp.float32),
+            }
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    return fused
+
+
 def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = None):
     """Returns jitted eval_step(state, proj, seg, heats) -> per-sample losses.
 
