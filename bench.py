@@ -166,13 +166,14 @@ def bench_torch_cpu() -> float:
 
     with torch.no_grad():
         net(x)  # warmup
-        iters = 2
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        best = 0.0
+        for _trial in range(2):  # best-of, mirroring bench_jax's protocol
+            t0 = time.perf_counter()
             seg, heats = net(x)
             torch.argmax(seg, dim=1)
-        dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+            dt = time.perf_counter() - t0
+            best = max(best, BATCH / dt)
+    return best
 
 
 def get_torch_baseline() -> float:

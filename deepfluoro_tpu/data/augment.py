@@ -36,7 +36,12 @@ Documented divergences from the reference (all flagged in SURVEY.md §2.4):
     which is 1px off from its own image warp;
   * erase-box dims are clipped into the valid range instead of
     rejection-resampled (dataset.py:267-277) — same distribution family,
-    no data-dependent loop in the compiled program.
+    no data-dependent loop in the compiled program;
+  * when do_affine=False (a combination no reference CLI exercises), the
+    reflect pad to proj_pad_dim happens before random erase rather than
+    after, so erase boxes are sized from (and may land in) the padded
+    frame; with affine enabled — every documented configuration — the
+    order matches the reference.
 """
 
 from __future__ import annotations
@@ -79,7 +84,7 @@ class AugmentConfig:
 
 
 def _extra_pad(cfg: AugmentConfig, img_dim: int) -> int:
-    if cfg.proj_pad_dim > 0:
+    if cfg.proj_pad_dim > img_dim:
         return calc_pad_amount(cfg.proj_pad_dim, img_dim)
     return 0
 

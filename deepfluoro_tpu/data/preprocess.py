@@ -79,9 +79,13 @@ def preprocess_landmarks(
     if rot_180:
         out[0] = (wc - 1) - out[0]
         out[1] = (hc - 1) - out[1]
-    # a full-res pixel block of size f maps to one output pixel; the center
-    # convention of jax.image.resize is (x + 0.5)/f - 0.5
-    out = (out + 0.5) / ds_factor - 0.5
+    # match jax.image.resize's actual scale (out_dim / cropped_dim), which
+    # differs from 1/ds_factor when the cropped dim is not divisible by the
+    # factor (e.g. 1336 @ 16x -> 83 px, scale 16.096 not 16)
+    scale_x = (wc // ds_factor) / wc
+    scale_y = (hc // ds_factor) / hc
+    out[0] = (out[0] + 0.5) * scale_x - 0.5
+    out[1] = (out[1] + 0.5) * scale_y - 0.5
     return out.astype(np.float32)
 
 

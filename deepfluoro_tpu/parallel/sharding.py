@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deepfluoro_tpu.ops.image import center_crop
 from deepfluoro_tpu.train.config import TrainConfig
-from deepfluoro_tpu.train.step import TrainState, _per_sample_dice, _per_sample_joint
+from deepfluoro_tpu.train.step import TrainState
 
 
 def shard_batch(mesh: Mesh, *arrays, spatial: bool = False):
@@ -64,46 +64,14 @@ def make_sharded_train_step(cfg: TrainConfig, model, tx, mesh: Mesh, spatial: bo
     (train_step, place_state) where place_state puts a TrainState onto the
     mesh with replicated sharding.
     """
+    from deepfluoro_tpu.train.step import grad_and_update, make_loss_fn
+
     has_lands = cfg.num_lands > 0
-    has_bn = cfg.batch_norm
     repl = NamedSharding(mesh, P())
-
-    def loss_fn(params, batch_stats, proj, seg, heats):
-        variables = {"params": params}
-        if has_bn:
-            variables["batch_stats"] = batch_stats
-            out, mutated = model.apply(variables, proj, train=True, mutable=["batch_stats"])
-            new_bs = mutated["batch_stats"]
-        else:
-            out = model.apply(variables, proj, train=True)
-            new_bs = batch_stats
-        if has_lands:
-            pred_seg, pred_heats = out
-        else:
-            pred_seg = out
-        pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
-        if has_lands:
-            pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
-            loss = jnp.mean(_per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff))
-        else:
-            loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
-        return loss, new_bs
-
-    import optax
+    loss_fn = make_loss_fn(cfg, model)
 
     def step(state: TrainState, proj, seg, heats, lr):
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, proj, seg, heats
-        )
-        opt_state = state.opt_state._replace(
-            hyperparams={**state.opt_state.hyperparams, "learning_rate": jnp.asarray(lr, jnp.float32)}
-        )
-        updates, new_opt_state = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params=new_params, batch_stats=new_bs, opt_state=new_opt_state, step=state.step + 1),
-            loss,
-        )
+        return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
 
     def in_shardings(proj_ndim, seg_ndim, heats_ndim):
         batch = NamedSharding(mesh, _batch_spec(mesh, proj_ndim, spatial))

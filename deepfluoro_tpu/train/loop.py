@@ -36,9 +36,9 @@ from deepfluoro_tpu.train.config import TrainConfig
 from deepfluoro_tpu.train.schedules import ReduceLROnPlateau, WarmRestartLR
 from deepfluoro_tpu.train.step import (
     make_eval_step,
+    make_fused_train_step,
     make_optimizer,
     make_train_state,
-    make_train_step,
 )
 from deepfluoro_tpu.utils.io import RunningFloatWriter
 
@@ -49,12 +49,16 @@ def _padded_dim(orig_dim: int, pad_dim: int) -> int:
     return orig_dim
 
 
-def evaluate(eval_step, state, data, aug_cfg, batch_size, key):
+def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None):
     """Per-image losses over a dataset -> (mean, std). Matches the reference's
     batch-1 no-grad loop (util.py:116-165) but batched on device; std follows
-    torch.std's N-1 normalization."""
+    torch.std's N-1 normalization.
+
+    Pass a pre-built (device-resident) BatchIterator via ``iterator`` when
+    calling repeatedly — building one here re-uploads the dataset each call.
+    """
     losses = []
-    it = BatchIterator(data, batch_size=batch_size, shuffle=False)
+    it = iterator if iterator is not None else BatchIterator(data, batch_size=batch_size, shuffle=False)
     for projs, segs, lands in it.epoch():
         prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
         per_sample = eval_step(
@@ -180,8 +184,6 @@ def fit(
         epoch = int(prev["epoch"])
         del prev
 
-    from deepfluoro_tpu.train.step import make_fused_train_step
-
     fused_step = make_fused_train_step(cfg, model, tx, aug_train)
     eval_step = make_eval_step(
         cfg, model, num_lands_for_loss=0 if cfg.use_dice_valid else None
@@ -193,6 +195,11 @@ def fit(
     segs_all = None if train_data.segs is None else jnp.asarray(train_data.segs)
     lands_all = None if train_data.lands is None else jnp.asarray(train_data.lands)
     shuffle_rng = np.random.default_rng(cfg.seed + 1)
+
+    # validation set uploaded once as well (evaluate() is called every epoch)
+    valid_iter = BatchIterator(
+        valid_data, batch_size=cfg.batch_size, shuffle=False, device_resident=True
+    )
 
     train_loss_out = RunningFloatWriter(train_loss_txt, new_file=not load_from_checkpoint)
     valid_loss_out = RunningFloatWriter(valid_loss_txt, new_file=not load_from_checkpoint)
@@ -283,7 +290,8 @@ def fit(
         log("  Running validation")
         rng, vkey = jax.random.split(rng)
         avg_valid_loss, std_valid_loss = evaluate(
-            eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey
+            eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey,
+            iterator=valid_iter,
         )
         valid_loss_out.write(avg_valid_loss)
 

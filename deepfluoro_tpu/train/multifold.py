@@ -17,17 +17,15 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
 
 from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
 from deepfluoro_tpu.data.hdf5 import FluoroData
 from deepfluoro_tpu.data.pipeline import BatchIterator
-from deepfluoro_tpu.ops.image import center_crop
 from deepfluoro_tpu.train.config import TrainConfig, build_model
 from deepfluoro_tpu.train.step import (
     TrainState,
-    _per_sample_dice,
-    _per_sample_joint,
+    grad_and_update,
+    make_loss_fn,
     make_optimizer,
     make_train_state,
 )
@@ -48,43 +46,10 @@ def make_multifold_state(cfg: TrainConfig, num_folds: int, rng_key, sample_shape
 def make_multifold_train_step(cfg: TrainConfig, model, tx):
     """Returns jitted step(stacked_state, proj (K,B,H,W,1), seg, heats, lr)
     -> (stacked_state, losses (K,))."""
-    has_lands = cfg.num_lands > 0
-    has_bn = cfg.batch_norm
-
-    def one_fold_loss(params, batch_stats, proj, seg, heats):
-        variables = {"params": params}
-        if has_bn:
-            variables["batch_stats"] = batch_stats
-            out, mutated = model.apply(variables, proj, train=True, mutable=["batch_stats"])
-            new_bs = mutated["batch_stats"]
-        else:
-            out = model.apply(variables, proj, train=True)
-            new_bs = batch_stats
-        if has_lands:
-            pred_seg, pred_heats = out
-        else:
-            pred_seg = out
-        pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
-        if has_lands:
-            pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
-            loss = jnp.mean(_per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff))
-        else:
-            loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
-        return loss, new_bs
+    loss_fn = make_loss_fn(cfg, model)
 
     def one_fold_step(state: TrainState, proj, seg, heats, lr):
-        (loss, new_bs), grads = jax.value_and_grad(one_fold_loss, has_aux=True)(
-            state.params, state.batch_stats, proj, seg, heats
-        )
-        opt_state = state.opt_state._replace(
-            hyperparams={**state.opt_state.hyperparams, "learning_rate": jnp.asarray(lr, jnp.float32)}
-        )
-        updates, new_opt_state = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(params=new_params, batch_stats=new_bs, opt_state=new_opt_state, step=state.step + 1),
-            loss,
-        )
+        return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
 
     from functools import partial
 

@@ -131,8 +131,12 @@ def _per_sample_joint(pred_seg, pred_heats, tgt_seg, tgt_heats, heat_coeff):
     return (1.0 - heat_coeff) * dice + heat_coeff * heat
 
 
-def make_train_step(cfg: TrainConfig, model, tx):
-    """Returns jitted train_step(state, proj, seg, heats, lr) -> (state, loss)."""
+def make_loss_fn(cfg: TrainConfig, model):
+    """Shared training loss: forward (with BN batch-stats mutation), crop
+    predictions back to the target resolution (train.py:414-417), joint or
+    dice-only loss. Returns loss_fn(params, batch_stats, proj, seg, heats)
+    -> (loss, new_batch_stats). Used by the plain, fused, sharded, and
+    multi-fold train steps."""
     has_lands = cfg.num_lands > 0
     has_bn = cfg.batch_norm
 
@@ -153,7 +157,6 @@ def make_train_step(cfg: TrainConfig, model, tx):
         else:
             pred_seg = out
 
-        # crop predictions back to the target (seg) resolution (train.py:414-417)
         pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
         if has_lands:
             pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
@@ -164,28 +167,41 @@ def make_train_step(cfg: TrainConfig, model, tx):
             loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
         return loss, new_bs
 
+    return loss_fn
+
+
+def grad_and_update(loss_fn, tx, state: TrainState, proj, seg, heats, lr):
+    """value_and_grad + LR injection + optax update -> (new_state, loss).
+    Shared tail of every train-step variant."""
+    (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params, state.batch_stats, proj, seg, heats
+    )
+    opt_state = state.opt_state._replace(
+        hyperparams={
+            **state.opt_state.hyperparams,
+            "learning_rate": jnp.asarray(lr, jnp.float32),
+        }
+    )
+    updates, new_opt_state = tx.update(grads, opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        ),
+        loss,
+    )
+
+
+def make_train_step(cfg: TrainConfig, model, tx):
+    """Returns jitted train_step(state, proj, seg, heats, lr) -> (state, loss)."""
+    loss_fn = make_loss_fn(cfg, model)
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, proj, seg, heats, lr):
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, proj, seg, heats
-        )
-        opt_state = state.opt_state._replace(
-            hyperparams={
-                **state.opt_state.hyperparams,
-                "learning_rate": jnp.asarray(lr, jnp.float32),
-            }
-        )
-        updates, new_opt_state = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                params=new_params,
-                batch_stats=new_bs,
-                opt_state=new_opt_state,
-                step=state.step + 1,
-            ),
-            loss,
-        )
+        return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
 
     return train_step
 
@@ -204,29 +220,7 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
     """
     from deepfluoro_tpu.data.augment import prepare_batch
 
-    has_lands = cfg.num_lands > 0
-    has_bn = cfg.batch_norm
-
-    def loss_fn(params, batch_stats, proj, seg, heats):
-        variables = {"params": params}
-        if has_bn:
-            variables["batch_stats"] = batch_stats
-            out, mutated = model.apply(variables, proj, train=True, mutable=["batch_stats"])
-            new_bs = mutated["batch_stats"]
-        else:
-            out = model.apply(variables, proj, train=True)
-            new_bs = batch_stats
-        if has_lands:
-            pred_seg, pred_heats = out
-        else:
-            pred_seg = out
-        pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
-        if has_lands:
-            pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
-            loss = jnp.mean(_per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff))
-        else:
-            loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
-        return loss, new_bs
+    loss_fn = make_loss_fn(cfg, model)
 
     @partial(jax.jit, donate_argnums=(0,))
     def fused(state: TrainState, projs_all, segs_all, lands_all, idx, step_seed, lr):
@@ -237,29 +231,9 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step_seed)
         prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params,
-            state.batch_stats,
-            prepared["proj"],
-            prepared.get("seg"),
-            prepared.get("heats"),
-        )
-        opt_state = state.opt_state._replace(
-            hyperparams={
-                **state.opt_state.hyperparams,
-                "learning_rate": jnp.asarray(lr, jnp.float32),
-            }
-        )
-        updates, new_opt_state = tx.update(grads, opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(
-                params=new_params,
-                batch_stats=new_bs,
-                opt_state=new_opt_state,
-                step=state.step + 1,
-            ),
-            loss,
+        return grad_and_update(
+            loss_fn, tx, state,
+            prepared["proj"], prepared.get("seg"), prepared.get("heats"), lr,
         )
 
     return fused

@@ -73,9 +73,30 @@ class TestPreprocessLandmarks:
     def test_crop_offset_and_scale(self):
         lands = np.array([[150.0], [250.0]])  # (x, y) full-res
         out = preprocess_landmarks(lands, (1536, 1536), 8, rot_180=False)
-        # cropped: (100, 200); downsample: (100+0.5)/8-0.5 = 12.0625
-        assert out[0, 0] == pytest.approx((100 + 0.5) / 8 - 0.5, abs=1e-4)
-        assert out[1, 0] == pytest.approx((200 + 0.5) / 8 - 0.5, abs=1e-4)
+        # cropped: (100, 200); the landmark scale must equal the image
+        # resize's actual scale out_dim/cropped_dim (1436//8=179 -> 179/1436),
+        # not 1/8, so coords stay aligned with the resampled frame
+        scale = (1436 // 8) / 1436
+        assert out[0, 0] == pytest.approx((100 + 0.5) * scale - 0.5, abs=1e-4)
+        assert out[1, 0] == pytest.approx((200 + 0.5) * scale - 0.5, abs=1e-4)
+
+    def test_scale_matches_image_resize_nondivisible(self):
+        """A landmark placed at a pixel peak must land on the same peak after
+        image and landmark preprocessing, even when the cropped dim is not
+        divisible by the factor (1336 @ 16x)."""
+        import jax.numpy as jnp
+
+        img = np.zeros((1436, 1436), np.float32)
+        r, c = 700, 900  # full-res peak
+        # blob wider than the 16x sampling stride so nearest sampling hits it
+        img[r - 12 : r + 13, c - 12 : c + 13] = 1.0
+        out_img = np.asarray(preprocess_projection(jnp.asarray(img), 16, False, True))
+        pr, pc = np.unravel_index(out_img.argmax(), out_img.shape)
+
+        lands = np.array([[float(c)], [float(r)]])
+        out_l = preprocess_landmarks(lands, (1436, 1436), 16, rot_180=False)
+        assert abs(out_l[0, 0] - pc) <= 1.0
+        assert abs(out_l[1, 0] - pr) <= 1.0
 
     def test_rot180(self):
         lands = np.array([[150.0], [250.0]])
