@@ -166,6 +166,40 @@ def full_res_to_preprocessed(
     return dst_path
 
 
+def make_sharded_fullres_infer(
+    model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int], mesh
+):
+    """Spatially-sharded fused full-res inference: the (B, H_full, W_full)
+    frames are sharded over 'data' (batch) and 'spatial' (H) mesh axes; the
+    GSPMD partitioner emits the convolution halo exchanges over ICI
+    (SURVEY.md §2.3's spatial-parallel analogue at the 1436^2 scale, where
+    per-chip HBM and FLOPs favor splitting the frame)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    infer = make_fused_fullres_infer(model, variables, ds_factor, pad_dim, full_hw)
+
+    data = "data" if "data" in mesh.axis_names else None
+    spatial = "spatial" if "spatial" in mesh.axis_names else None
+    proj_sh = NamedSharding(mesh, P(data, spatial, None))
+    repl = NamedSharding(mesh, P())
+    out_sh = (NamedSharding(mesh, P(data, None, None)), NamedSharding(mesh, P(data, None, None, None)))
+
+    jit_infer = jax.jit(
+        lambda projs, rots: infer(projs, rots),
+        in_shardings=(proj_sh, NamedSharding(mesh, P(data))),
+        out_shardings=out_sh,
+    )
+
+    def place(projs, rots):
+        return (
+            jax.device_put(projs, proj_sh),
+            jax.device_put(rots, NamedSharding(mesh, P(data))),
+        )
+
+    return jit_infer, place
+
+
 def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int]):
     """One compiled program: full-res frames -> crop/log/rot/downsample ->
     reflect-pad + z-norm -> U-Net -> argmax (+heats). BASELINE config 5.

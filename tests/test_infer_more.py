@@ -76,6 +76,35 @@ class TestSegDatasetSingle:
             assert f["nn-heats"].shape == (6, 14, 32, 32)
 
 
+class TestShardedFullRes:
+    def test_matches_unsharded(self, tmp_path, rng):
+        """Spatially-sharded full-res inference (H sharded over 'spatial',
+        batch over 'data') must reproduce the single-device program."""
+        from deepfluoro_tpu.data.preprocess import make_sharded_fullres_infer
+        from deepfluoro_tpu.parallel import make_mesh
+
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+            no_max_pool=True, num_lands=4, proj_unet_dim=28,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (28, 28))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        projs = np.asarray(rng.random((2, 148, 148)), np.float32) + 0.1
+        rots = np.array([True, False])
+
+        infer1 = make_fused_fullres_infer(model, variables, 2, 28, (148, 148))
+        labels1, heats1 = infer1(jnp.asarray(projs), jnp.asarray(rots))
+
+        mesh = make_mesh({"data": 2, "spatial": 4})
+        inferN, place = make_sharded_fullres_infer(model, variables, 2, 28, (148, 148), mesh)
+        pN, rN = place(projs, rots)
+        labelsN, heatsN = inferN(pN, rN)
+
+        np.testing.assert_array_equal(np.asarray(labels1), np.asarray(labelsN))
+        np.testing.assert_allclose(np.asarray(heats1), np.asarray(heatsN), atol=1e-5)
+
+
 class TestFusedFullRes:
     def test_end_to_end_shapes_and_match(self, tmp_path):
         fr = write_synthetic_fullres_dataset(
