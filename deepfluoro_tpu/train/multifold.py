@@ -68,6 +68,30 @@ def fold_state(stacked_state, k: int):
     return jax.tree.map(lambda x: x[k], stacked_state)
 
 
+def save_fold_checkpoints(
+    cfg: TrainConfig,
+    stacked_state,
+    paths: list[str],
+    epoch: int = 0,
+    last_losses=None,
+) -> None:
+    """Write each fold as a standard self-describing checkpoint, loadable by
+    test_ensemble / load_net_from_checkpoint."""
+    from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+    for k, path in enumerate(paths):
+        st = fold_state(stacked_state, k)
+        save_checkpoint(
+            path,
+            meta=cfg.to_checkpoint_meta(),
+            params=st.params,
+            batch_stats=st.batch_stats,
+            opt_state=st.opt_state,
+            epoch=epoch,
+            last_loss=None if last_losses is None else float(last_losses[k]),
+        )
+
+
 def train_multifold(
     data_per_fold: list[FluoroData],
     cfg: TrainConfig,

@@ -59,3 +59,31 @@ def test_fold_state_usable_for_inference(h5p):
 
     seg, heats, labels = fwd(stack_variables([variables]), jnp.zeros((1, 36, 36, 1)))
     assert labels.shape == (1, 32, 32)
+
+
+def test_train_folds_cli_end_to_end(tmp_path, h5p):
+    """train_folds CLI -> per-fold checkpoints -> test_ensemble consumes them."""
+    import os
+    from deepfluoro_tpu.cli import test_ensemble, train_folds
+
+    prefix = str(tmp_path / "fold")
+    train_folds.main([
+        h5p, "--pats", "1,2,3", "--num-classes", "7", "--batch-size", "3",
+        "--unet-img-dim", "36", "--epochs", "2", "--unet-num-lvls", "2",
+        "--unet-init-feats-exp", "2", "--unet-batch-norm", "--unet-padding",
+        "--unet-no-max-pool", "--use-lands", "--init-lr", "0.05",
+        "--net-prefix", prefix,
+    ])
+    for p in (1, 2, 3):
+        assert os.path.exists("{}_spec{:02d}.pt".format(prefix, p))
+
+    # fold 1's net (specimen 1 held out) evaluated on specimen 1
+    out_h5 = str(tmp_path / "out.h5")
+    test_ensemble.main([
+        h5p, out_h5, "--pats", "1",
+        "--nets", "{}_spec01.pt".format(prefix),
+    ])
+    import h5py
+    with h5py.File(out_h5) as f:
+        assert f["nn-segs"].shape[0] == 6
+        assert f["nn-heats"].shape[1] == 14
