@@ -15,6 +15,7 @@ restored into a freshly built optax state on load.
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 import jax
@@ -24,6 +25,41 @@ from flax import serialization
 def _to_plain(tree):
     """Pytree -> nested plain containers of numpy arrays / scalars."""
     return jax.tree.map(lambda x: np.asarray(x), serialization.to_state_dict(tree))
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with training.
+
+    ``save`` snapshots the state with an on-device copy (cheap; survives the
+    next step's buffer donation) and hands the device->host fetch plus the
+    serialized file write to a background thread. At most one save is in
+    flight; a new save (or ``wait``) joins the previous one first, so file
+    writes stay ordered and the atomic-replace contract holds.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def save(self, path: str, **kwargs) -> None:
+        self.wait()
+        # device-side copy: jnp arrays are immutable, but the *buffers* get
+        # donated by the next train step, so snapshot before returning
+        snap = {}
+        for key in ("params", "batch_stats", "opt_state"):
+            if kwargs.get(key) is not None:
+                snap[key] = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, kwargs[key])
+        kwargs.update(snap)
+
+        def run():
+            save_checkpoint(path, **kwargs)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
 
 
 def save_checkpoint(

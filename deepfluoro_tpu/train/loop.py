@@ -31,7 +31,11 @@ from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
 from deepfluoro_tpu.data.hdf5 import load_dataset, split_train_valid
 from deepfluoro_tpu.data.pipeline import BatchIterator
 from deepfluoro_tpu.ops.image import calc_pad_amount
-from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree, save_checkpoint
+from deepfluoro_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    restore_tree,
+)
 from deepfluoro_tpu.train.config import TrainConfig
 from deepfluoro_tpu.train.schedules import ReduceLROnPlateau, WarmRestartLR
 from deepfluoro_tpu.train.step import (
@@ -201,6 +205,7 @@ def fit(
         valid_data, batch_size=cfg.batch_size, shuffle=False, device_resident=True
     )
 
+    checkpointer = AsyncCheckpointer()
     train_loss_out = RunningFloatWriter(train_loss_txt, new_file=not load_from_checkpoint)
     valid_loss_out = RunningFloatWriter(valid_loss_txt, new_file=not load_from_checkpoint)
 
@@ -315,7 +320,9 @@ def fit(
             new_best_valid = True
 
         def save_net(net_path):
-            save_checkpoint(
+            # async: snapshot on device, write in a background thread so the
+            # next epoch trains while the (large) state serializes
+            checkpointer.save(
                 net_path,
                 meta=cfg.to_checkpoint_meta(),
                 params=state.params,
@@ -339,6 +346,7 @@ def fit(
         if new_best_valid and cfg.save_best_valid:
             log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
             if net_saved_this_epoch_path is not None:
+                checkpointer.wait()
                 shutil.copy(net_saved_this_epoch_path, best_valid_filename)
             else:
                 save_net(best_valid_filename)
@@ -355,6 +363,7 @@ def fit(
             )
             log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
             if net_saved_this_epoch_path is not None:
+                checkpointer.wait()
                 shutil.copy(net_saved_this_epoch_path, restart_net_path)
             else:
                 save_net(restart_net_path)
@@ -387,9 +396,11 @@ def fit(
             if net_saved_this_epoch_path is None:
                 save_net(checkpoint_filename)
             elif net_saved_this_epoch_path != checkpoint_filename:
+                checkpointer.wait()
                 shutil.copy(net_saved_this_epoch_path, checkpoint_filename)
 
     log("Training Hours: {:.4f}".format(tot_time_hours))
+    checkpointer.wait()
     train_loss_out.close()
     valid_loss_out.close()
     if prev_handler is not None:
