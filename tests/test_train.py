@@ -225,3 +225,52 @@ class TestFit:
         )
         assert out["num_restarts"] == 2
         assert out["epoch"] == 2  # stopped by restarts, not epochs
+
+
+class TestAsyncCheckpointer:
+    def test_snapshot_survives_mutation(self, tmp_path, fixture_h5):
+        """The saved file must reflect the state AT save time even if the
+        buffers are donated/overwritten immediately after."""
+        import jax.numpy as jnp
+        from deepfluoro_tpu.train.checkpoint import AsyncCheckpointer
+
+        cfg = small_cfg()
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        first_leaf_before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+
+        ck = AsyncCheckpointer()
+        p = str(tmp_path / "a.pt")
+        ck.save(p, meta=cfg.to_checkpoint_meta(), params=state.params,
+                batch_stats=state.batch_stats, opt_state=state.opt_state)
+
+        # immediately run a donating step that invalidates the old buffers
+        from deepfluoro_tpu.data import AugmentConfig, load_dataset, prepare_batch
+        from deepfluoro_tpu.train.step import make_optimizer
+
+        data = load_dataset(fixture_h5, [1])
+        tx = make_optimizer(cfg)
+        step = make_train_step(cfg, model, tx)
+        aug = AugmentConfig(num_classes=7, proj_pad_dim=36, prob_of_aug=0.0)
+        b = prepare_batch(aug, jax.random.PRNGKey(1), jnp.asarray(data.projs),
+                          jnp.asarray(data.segs), jnp.asarray(data.lands))
+        state, _ = step(state, b["proj"], b["seg"], b["heats"], 0.5)
+
+        ck.wait()
+        saved = load_checkpoint(p)
+        model2, state2 = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        restored = restore_tree(state2.params, saved["model-state-dict"]["params"])
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(restored)[0]), first_leaf_before
+        )
+
+    def test_sequential_saves_ordered(self, tmp_path):
+        from deepfluoro_tpu.train.checkpoint import AsyncCheckpointer
+
+        cfg = small_cfg(depth=2, init_feats_exp=2, num_lands=0, batch_norm=False)
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        ck = AsyncCheckpointer()
+        p = str(tmp_path / "b.pt")
+        for e in range(3):
+            ck.save(p, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=e)
+        ck.wait()
+        assert load_checkpoint(p)["epoch"] == 2
