@@ -71,7 +71,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             parts = []
             if wd > 0:
                 parts.append(optax.add_decayed_weights(wd))
-            parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8))
+            # torch RMSprop adds eps OUTSIDE the sqrt (optax's default is inside)
+            parts.append(optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False))
             if cfg.momentum > 0:
                 parts.append(optax.trace(decay=cfg.momentum, nesterov=False))
             parts.append(optax.scale_by_learning_rate(learning_rate))
