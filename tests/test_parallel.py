@@ -164,3 +164,31 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(1)
+
+
+class TestDeepSpatialSharding:
+    def test_depth6_receptive_field_spatial_parity(self, rng):
+        """SURVEY §7 hard part (e): halo-exchange correctness for depth-6
+        receptive fields under spatial sharding. The partitioner must insert
+        correct halos through 6 encoder levels (receptive field spans many
+        shard boundaries at 192^2 split 2-ways)."""
+        cfg = small_cfg(
+            depth=6, init_feats_exp=1, num_lands=2, proj_unet_dim=192, batch_size=2,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (192, 192))
+        _, state_b = make_train_state(cfg, jax.random.PRNGKey(0), (192, 192))
+        tx = make_optimizer(cfg)
+        proj, seg, heats = make_batch(rng, 2, 192, 192, num_lands=2)
+
+        mesh = make_mesh({"data": 2, "spatial": 4})
+        stepN, place = make_sharded_train_step(cfg, model, tx, mesh, spatial=True)
+        stateN = place(state_b)
+        pN, sN, hN = shard_batch(mesh, proj, seg, heats, spatial=True)
+
+        step1 = make_train_step(cfg, model, tx)
+        s1, loss1 = step1(state, proj, seg, heats, 0.1)
+        s2, loss2 = stepN(stateN, pN, sN, hN, 0.1)
+
+        assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
