@@ -41,7 +41,11 @@ Documented divergences from the reference (all flagged in SURVEY.md §2.4):
     reflect pad to proj_pad_dim happens before random erase rather than
     after, so erase boxes are sized from (and may land in) the padded
     frame; with affine enabled — every documented configuration — the
-    order matches the reference.
+    order matches the reference;
+  * when pad_data_for_affine=False AND proj_pad_dim is set (also never
+    exercised by a reference CLI), the warp writes constant-fill borders
+    directly into the extended frame rather than reflect-padding the
+    warped result afterwards.
 """
 
 from __future__ import annotations

@@ -26,16 +26,10 @@ DEFAULT_LAND_NAMES = [
     "ASIS-l", "ASIS-r",
 ]
 
-# landmark name -> seg class whose blob it sits on (est_lands_csv.py:56-73)
-_LAND_TO_CLASS = {
-    "FH-l": 5, "FH-r": 6,
-    "GSN-l": 1, "GSN-r": 2,
-    "IOF-l": 1, "IOF-r": 2,
-    "MOF-l": 1, "MOF-r": 2,
-    "SPS-l": 1, "SPS-r": 2,
-    "IPS-l": 1, "IPS-r": 2,
-    "ASIS-l": 1, "ASIS-r": 2,
-}
+# landmark name -> seg class whose blob it sits on: derive from the
+# canonical detection-gating map so fixtures always exercise the same
+# association the landmark decoder uses (est_lands_csv.py:56-73)
+from deepfluoro_tpu.eval.landmarks import SEG_LABELS_TO_USE_FOR_LANDS as _LAND_TO_CLASS
 
 
 def _ellipse_mask(h, w, cy, cx, ry, rx):

@@ -165,6 +165,20 @@ def load_dataset(
     projs = np.concatenate(all_projs, axis=0)
     segs = np.concatenate(all_segs, axis=0) if all_segs else None
     lands = np.concatenate(all_lands, axis=0) if all_lands else None
+    # every requested specimen must carry the same datasets — a partial
+    # concatenation would silently misalign supervision with projections
+    if segs is not None and segs.shape[0] != projs.shape[0]:
+        raise ValueError(
+            "specimens {} disagree on having 'segs' ({} rows vs {} projs)".format(
+                list(pat_inds), segs.shape[0], projs.shape[0]
+            )
+        )
+    if lands is not None and lands.shape[0] != projs.shape[0]:
+        raise ValueError(
+            "specimens {} disagree on having 'lands' ({} rows vs {} projs)".format(
+                list(pat_inds), lands.shape[0], projs.shape[0]
+            )
+        )
 
     mm = None
     if need_scale:

@@ -58,8 +58,11 @@ def load_net_from_checkpoint(path: str, verbose: bool = True):
         print("    Best Valid. Loss: {}".format(ck["best-valid-loss"]))
 
     model = build_model(cfg)
-    # init a template at a small size just to get the pytree structure
-    _, state = make_train_state(cfg, jax.random.PRNGKey(0), (16, 16))
+    # init a template to get the pytree structure; the size must be large
+    # enough for cfg.depth halvings (and VALID-conv shrinkage when
+    # padding=False) — use the checkpoint's own padded input size
+    template_dim = max(int(cfg.proj_unet_dim), 2 ** (cfg.depth + 2))
+    _, state = make_train_state(cfg, jax.random.PRNGKey(0), (template_dim, template_dim))
     params = restore_tree(state.params, ck["model-state-dict"]["params"])
     batch_stats = restore_tree(state.batch_stats, ck["model-state-dict"]["batch_stats"])
     variables = {"params": params}
@@ -162,6 +165,12 @@ def seg_dataset_ensemble(
     it = BatchIterator(data, batch_size=batch_size, shuffle=False, device_resident=True)
     key = jax.random.PRNGKey(0)
 
+    # warm-up: compile the prepare+forward programs before timing, so the
+    # --times file reports steady-state per-image latency (the reference's
+    # eager loop has no compile cliff to exclude; util.py:321-366)
+    warm = jnp.zeros((batch_size, *orig_hw), jnp.float32)
+    _ = np.asarray(fwd(stacked, prepare_batch(aug_cfg, key, warm)["proj"])[2])
+
     write_i = 0
     for projs, _, _ in it.epoch():
         start_time = time.time()
@@ -228,7 +237,7 @@ def test_dataset_ensemble(
 
     NOTE (replicated semantics): unlike seg_dataset_ensemble, the loss-eval
     path does NOT min-max normalize per-net heatmaps (util.py:216-222)."""
-    from deepfluoro_tpu.train.step import _per_sample_dice, _per_sample_joint
+    from deepfluoro_tpu.ops.losses import per_sample_dice, per_sample_joint
 
     orig_hw = data.orig_img_shape
     model = models_and_vars[0][0]
@@ -252,8 +261,8 @@ def test_dataset_ensemble(
         avg_seg = jnp.mean(segs_k, axis=0)
         if use_lands:
             avg_heats = jnp.mean(heats_k, axis=0)
-            return _per_sample_joint(avg_seg, avg_heats, seg, heats, heat_coeff=0.5)
-        return _per_sample_dice(avg_seg, seg, skip_bg=False)
+            return per_sample_joint(avg_seg, avg_heats, seg, heats, heat_coeff=0.5)
+        return per_sample_dice(avg_seg, seg, skip_bg=False)
 
     aug_cfg = AugmentConfig(
         num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,

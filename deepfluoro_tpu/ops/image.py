@@ -86,13 +86,6 @@ def znorm(img: jnp.ndarray) -> jnp.ndarray:
     return (img - jnp.mean(img)) / jnp.std(img)
 
 
-def minmax_norm(img: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
-    """Scale array to [0, 1] by its min/max."""
-    lo = jnp.min(img)
-    hi = jnp.max(img)
-    return (img - lo) / (hi - lo + eps)
-
-
 # ---------------------------------------------------------------------------
 # Affine warp (device-side replacement for the reference's host PIL warps,
 # dataset.py:150-225). Torchvision inverse-affine-matrix convention.

@@ -27,6 +27,25 @@ _DICE_EPS = 1.0e-4
 _NCC_EPS = 1.0e-8
 
 
+def per_sample_dice(pred: jnp.ndarray, target: jnp.ndarray, skip_bg: bool) -> jnp.ndarray:
+    """Per-image (negated) soft Dice, (B,) — the single implementation of the
+    eps-sensitive dice expression; scalar losses and validation statistics
+    both build on it."""
+    if skip_bg:
+        pred = pred[..., 1:]
+        target = target[..., 1:]
+    num_classes = pred.shape[-1]
+    # Sum over spatial dims (H, W) -> (B, C)
+    numerators = -2.0 * jnp.sum(target * pred, axis=(1, 2)) + _DICE_EPS
+    denominators = (
+        jnp.sum(target * target, axis=(1, 2))
+        + jnp.sum(pred * pred, axis=(1, 2))
+        + _DICE_EPS
+    )
+    dices = numerators / denominators  # (B, C)
+    return jnp.sum(dices, axis=1) / num_classes  # (B,)
+
+
 def soft_dice_loss(pred: jnp.ndarray, target: jnp.ndarray, skip_bg: bool = True) -> jnp.ndarray:
     """Differentiable (negated) Dice over softmax probabilities vs one-hot targets.
 
@@ -38,21 +57,7 @@ def soft_dice_loss(pred: jnp.ndarray, target: jnp.ndarray, skip_bg: bool = True)
     Returns scalar loss in [-1, 0]; -1 is a perfect segmentation.
     """
     assert pred.ndim == 4 and target.ndim == 4
-    if skip_bg:
-        pred = pred[..., 1:]
-        target = target[..., 1:]
-    num_classes = pred.shape[-1]
-
-    # Sum over spatial dims (H, W) -> (B, C)
-    numerators = -2.0 * jnp.sum(target * pred, axis=(1, 2)) + _DICE_EPS
-    denominators = (
-        jnp.sum(target * target, axis=(1, 2))
-        + jnp.sum(pred * pred, axis=(1, 2))
-        + _DICE_EPS
-    )
-    dices = numerators / denominators  # (B, C)
-    avg_dices = jnp.sum(dices, axis=1) / num_classes  # (B,)
-    return jnp.mean(avg_dices)
+    return jnp.mean(per_sample_dice(pred, target, skip_bg))
 
 
 def ncc_2d(x: jnp.ndarray, y: jnp.ndarray, axes: tuple[int, int] = (-2, -1)) -> jnp.ndarray:
@@ -78,16 +83,25 @@ def ncc_2d(x: jnp.ndarray, y: jnp.ndarray, axes: tuple[int, int] = (-2, -1)) -> 
     return jnp.sum(x_zm * y_zm, axis=axes) / ((n * (x_sd * y_sd)) + _NCC_EPS)
 
 
-def heatmap_ncc_loss(pred_heats: jnp.ndarray, target_heats: jnp.ndarray) -> jnp.ndarray:
-    """Per-landmark NCC mapped to [-1, 0] and averaged (reference dice.py:81-86).
+def per_sample_heatmap_ncc(pred_heats: jnp.ndarray, target_heats: jnp.ndarray) -> jnp.ndarray:
+    """Per-image heatmap NCC loss, (B,): per-landmark NCC mapped to [-1, 0]
+    (reference dice.py:81-86) averaged over landmarks."""
+    nccs = ncc_2d(pred_heats, target_heats, axes=(1, 2))  # (B, L)
+    return jnp.mean((nccs + 1.0) * -0.5, axis=1)
 
-    Args:
-      pred_heats / target_heats: (B, H, W, L).
-    """
-    # NCC over spatial axes (1, 2), leaving (B, L)
-    nccs = ncc_2d(pred_heats, target_heats, axes=(1, 2))
-    ncc_losses = (nccs + 1.0) * -0.5
-    return jnp.mean(ncc_losses)
+
+def per_sample_joint(pred_seg, pred_heats, tgt_seg, tgt_heats, heat_coeff: float) -> jnp.ndarray:
+    """Per-image joint loss, (B,) — shared by training and the batch-1-style
+    validation statistics (util.py:116-165 computes mean AND std over
+    per-image losses)."""
+    dice = per_sample_dice(pred_seg, tgt_seg, skip_bg=False)
+    heat = per_sample_heatmap_ncc(pred_heats, tgt_heats)
+    return (1.0 - heat_coeff) * dice + heat_coeff * heat
+
+
+def heatmap_ncc_loss(pred_heats: jnp.ndarray, target_heats: jnp.ndarray) -> jnp.ndarray:
+    """Scalar heatmap NCC loss (reference dice.py:81-86)."""
+    return jnp.mean(per_sample_heatmap_ncc(pred_heats, target_heats))
 
 
 def dice_and_heatmap_loss(

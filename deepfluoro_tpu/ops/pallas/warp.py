@@ -133,6 +133,15 @@ def pallas_warp_supported() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
+def _default_apron(out_dim: int) -> int:
+    """Mirror apron sized for the worst legal augmentation draw: |translate|
+    <= 20 plus the radial stretch of (scale 0.9, rot 5deg, shear 1deg) from
+    the frame center (~0.28 * dim/2 combined; verified -72.7px at dim 384).
+    Rounded up to a sublane multiple."""
+    apron = int(np.ceil(24 + 0.16 * out_dim))
+    return int(np.ceil(apron / 8.0) * 8)
+
+
 @partial(jax.jit, static_argnames=("order", "out_shape", "pad"))
 def affine_warp_pallas(
     img: jnp.ndarray,
@@ -140,15 +149,18 @@ def affine_warp_pallas(
     order: int = 1,
     out_shape: tuple[int, int] | None = None,
     out_offset_xy: tuple[float, float] = (0.0, 0.0),
-    pad: int = 64,
+    pad: int | None = None,
 ) -> jnp.ndarray:
     """Mirror-boundary affine warp of an (H, W) image via the Pallas kernel.
 
     Semantics match ``ops.image.affine_warp(..., mode='mirror')`` for
-    displacements up to ``pad`` pixels (the augmentation ranges reach ~50).
+    displacements up to ``pad`` pixels; the default apron covers the
+    augmentation parameter ranges at any training resolution.
     """
     h, w = img.shape
     oh, ow = (h, w) if out_shape is None else out_shape
+    if pad is None:
+        pad = _default_apron(max(oh, ow))
 
     # mirror-pad once so the kernel needs no boundary logic
     img_pad = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")

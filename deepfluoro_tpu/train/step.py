@@ -28,7 +28,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from deepfluoro_tpu.ops.image import center_crop
-from deepfluoro_tpu.ops.losses import ncc_2d, _DICE_EPS
+from deepfluoro_tpu.ops.losses import per_sample_dice, per_sample_joint
 from deepfluoro_tpu.train.config import TrainConfig, build_model
 
 
@@ -105,31 +105,10 @@ def make_train_state(cfg: TrainConfig, rng_key, sample_shape) -> tuple[Any, Trai
     return model, state
 
 
-# ---------------------------------------------------------------------------
-# Per-sample losses (needed for the reference's batch-1 validation statistics,
-# util.py:116-165: mean AND std over per-image losses)
-# ---------------------------------------------------------------------------
-
-
-def _per_sample_dice(pred, target, skip_bg: bool):
-    if skip_bg:
-        pred = pred[..., 1:]
-        target = target[..., 1:]
-    nc = pred.shape[-1]
-    num = -2.0 * jnp.sum(target * pred, axis=(1, 2)) + _DICE_EPS
-    den = (
-        jnp.sum(target * target, axis=(1, 2))
-        + jnp.sum(pred * pred, axis=(1, 2))
-        + _DICE_EPS
-    )
-    return jnp.sum(num / den, axis=1) / nc  # (B,)
-
-
-def _per_sample_joint(pred_seg, pred_heats, tgt_seg, tgt_heats, heat_coeff):
-    dice = _per_sample_dice(pred_seg, tgt_seg, skip_bg=False)
-    nccs = ncc_2d(pred_heats, tgt_heats, axes=(1, 2))  # (B, L)
-    heat = jnp.mean((nccs + 1.0) * -0.5, axis=1)  # (B,)
-    return (1.0 - heat_coeff) * dice + heat_coeff * heat
+# per-sample losses live in ops/losses.py (single source of the eps-sensitive
+# dice expression); aliases kept for the validation/ensemble consumers
+_per_sample_dice = per_sample_dice
+_per_sample_joint = per_sample_joint
 
 
 def make_loss_fn(cfg: TrainConfig, model):
@@ -162,10 +141,10 @@ def make_loss_fn(cfg: TrainConfig, model):
         if has_lands:
             pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
             loss = jnp.mean(
-                _per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff)
+                per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff)
             )
         else:
-            loss = jnp.mean(_per_sample_dice(pred_seg, seg, skip_bg=False))
+            loss = jnp.mean(per_sample_dice(pred_seg, seg, skip_bg=False))
         return loss, new_bs
 
     return loss_fn
@@ -264,7 +243,7 @@ def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = Non
         pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
         if use_lands:
             pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
-            return _per_sample_joint(pred_seg, pred_heats, seg, heats, heat_coeff=0.5)
-        return _per_sample_dice(pred_seg, seg, skip_bg=False)
+            return per_sample_joint(pred_seg, pred_heats, seg, heats, heat_coeff=0.5)
+        return per_sample_dice(pred_seg, seg, skip_bg=False)
 
     return eval_step

@@ -13,7 +13,6 @@ from deepfluoro_tpu.ops.image import (
     center_crop,
     forward_affine_matrix,
     inverse_affine_matrix,
-    minmax_norm,
     reflect_pad_to,
     transform_landmarks,
     znorm,
@@ -85,13 +84,6 @@ class TestNorms:
         out = np.asarray(znorm(jnp.asarray(x)))
         assert abs(out.mean()) < 1e-4
         assert out.std() == pytest.approx(1.0, abs=1e-3)
-
-    def test_minmax(self, rng):
-        x = rng.random((8, 8)).astype(np.float32) * 9 - 4
-        out = np.asarray(minmax_norm(jnp.asarray(x)))
-        assert out.min() == pytest.approx(0.0, abs=1e-6)
-        assert out.max() == pytest.approx(1.0, abs=1e-6)
-
 
 class TestAffine:
     @staticmethod
