@@ -192,3 +192,26 @@ class TestDeepSpatialSharding:
         assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
         for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+class TestMultihost:
+    def test_local_shard_indices_partition(self):
+        """Single-process: the shard must be a permutation of all indices;
+        the (seed, epoch) pair fully determines it."""
+        from deepfluoro_tpu.parallel.multihost import local_shard_indices
+
+        a = local_shard_indices(100, seed=3, epoch=0)
+        b = local_shard_indices(100, seed=3, epoch=0)
+        np.testing.assert_array_equal(a, b)  # deterministic
+        assert sorted(a.tolist()) == list(range(100))  # full coverage (1 proc)
+        c = local_shard_indices(100, seed=3, epoch=1)
+        assert not np.array_equal(a, c)  # reshuffled per epoch
+
+    def test_global_batch_from_local(self, rng):
+        from deepfluoro_tpu.parallel.multihost import global_batch_from_local
+
+        mesh = make_mesh({"data": 8})
+        local = rng.random((8, 4, 4)).astype(np.float32)
+        arr = global_batch_from_local(mesh, local)
+        assert arr.shape == (8, 4, 4)
+        np.testing.assert_allclose(np.asarray(arr), local)
