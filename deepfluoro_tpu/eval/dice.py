@@ -25,7 +25,10 @@ def _hard_dice(gt_segs, est_segs, class_ids):
         gt_sum = jnp.sum(gt, axis=(1, 2))
         est_sum = jnp.sum(est, axis=(1, 2))
         tot = gt_sum + est_sum
-        return jnp.where(tot > 0.1, (2.0 * inter) / jnp.maximum(tot, 1e-12), 1.0)
+        d = jnp.where(tot > 0.1, (2.0 * inter) / jnp.maximum(tot, 1e-12), 1.0)
+        # TPU lowers divide to multiply-by-reciprocal, which can round a
+        # perfect-overlap ratio to 1.0000001; clamp to the valid range
+        return jnp.clip(d, 0.0, 1.0)
 
     return jax.vmap(per_class, out_axes=1)(class_ids)  # (N, C-1)
 
