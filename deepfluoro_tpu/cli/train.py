@@ -79,6 +79,9 @@ def main(argv=None):
     select_platform(no_gpu=args.no_gpu)
     enable_compilation_cache()
 
+    # the reference leaves --num-classes default-less and crashes deep inside
+    # torch when omitted; fail loudly at the CLI boundary instead
+    assert args.num_classes is not None, "--num-classes is required"
     assert args.train_pats is not None
     train_pats = [int(i) for i in args.train_pats.split(",")]
     assert len(train_pats) > 0

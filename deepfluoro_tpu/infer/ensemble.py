@@ -35,6 +35,41 @@ from deepfluoro_tpu.train.config import TrainConfig, build_model
 from deepfluoro_tpu.train.step import make_train_state
 
 
+def _template_dim(cfg: TrainConfig) -> int:
+    """Input H=W used to init a parameter-structure template.
+
+    Parameter shapes are spatial-size independent, so any size the forward
+    pass accepts works. With SAME padding anything >= 2**(depth-1) does; with
+    VALID convs (padding=False) each 3x3 conv eats 2 px per level, so deep
+    nets need far more than the halving bound — simulate the down/up path
+    and grow until every intermediate stays positive."""
+    base = max(int(cfg.proj_unet_dim), 2 ** (cfg.depth + 2))
+    if cfg.padding:
+        return base
+
+    def output_ok(s: int) -> bool:
+        for i in range(cfg.depth):
+            s -= 2 * cfg.block_depth
+            if i != cfg.depth - 1:
+                if s < 2:
+                    return False
+                s //= 2
+        if s < 1:
+            return False
+        for _ in range(cfg.depth - 1):
+            s = 2 * s - 2 * cfg.block_depth
+            if s < 1:
+                return False
+        # (build_model leaves the model's lands_block_depth at 0, so the
+        # landmark head adds no further 3x3 shrinkage)
+        return s >= 1
+
+    s = base
+    while not output_ok(s):
+        s += 2 ** (cfg.depth - 1)
+    return s
+
+
 def load_net_from_checkpoint(path: str, verbose: bool = True):
     """Rebuild (model, variables, cfg) purely from a checkpoint file
     (contract of test_ensemble.py:61-107)."""
@@ -58,10 +93,9 @@ def load_net_from_checkpoint(path: str, verbose: bool = True):
         print("    Best Valid. Loss: {}".format(ck["best-valid-loss"]))
 
     model = build_model(cfg)
-    # init a template to get the pytree structure; the size must be large
-    # enough for cfg.depth halvings (and VALID-conv shrinkage when
-    # padding=False) — use the checkpoint's own padded input size
-    template_dim = max(int(cfg.proj_unet_dim), 2 ** (cfg.depth + 2))
+    # init a template to get the pytree structure; the size must survive
+    # cfg.depth halvings AND the VALID-conv shrinkage when padding=False
+    template_dim = _template_dim(cfg)
     _, state = make_train_state(cfg, jax.random.PRNGKey(0), (template_dim, template_dim))
     params = restore_tree(state.params, ck["model-state-dict"]["params"])
     batch_stats = restore_tree(state.batch_stats, ck["model-state-dict"]["batch_stats"])
@@ -231,6 +265,7 @@ def test_dataset_ensemble(
     batch_size: int = 1,
     pad_img_dim: int = 0,
     num_classes: int = 7,
+    heat_coeff: float = 0.5,
 ):
     """Ensemble validation-loss evaluation (reference util.py:167-241):
     averaged seg/heat predictions -> per-image loss -> (mean, std).
@@ -261,7 +296,9 @@ def test_dataset_ensemble(
         avg_seg = jnp.mean(segs_k, axis=0)
         if use_lands:
             avg_heats = jnp.mean(heats_k, axis=0)
-            return per_sample_joint(avg_seg, avg_heats, seg, heats, heat_coeff=0.5)
+            # the reference builds ONE criterion from flags and reuses it for
+            # validation (train.py:321-327); honor the configured weighting
+            return per_sample_joint(avg_seg, avg_heats, seg, heats, heat_coeff)
         return per_sample_dice(avg_seg, seg, skip_bg=False)
 
     aug_cfg = AugmentConfig(
@@ -270,8 +307,8 @@ def test_dataset_ensemble(
     it = BatchIterator(data, batch_size=batch_size, shuffle=False)
     key = jax.random.PRNGKey(0)
     losses = []
-    for projs, segs, lands in it.epoch():
-        prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+    for bi, (projs, segs, lands) in enumerate(it.epoch()):
+        prepared = prepare_batch(aug_cfg, jax.random.fold_in(key, bi), projs, segs, lands)
         losses.append(
             np.asarray(
                 eval_batch(

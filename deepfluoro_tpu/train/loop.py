@@ -63,8 +63,11 @@ def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None):
     """
     losses = []
     it = iterator if iterator is not None else BatchIterator(data, batch_size=batch_size, shuffle=False)
-    for projs, segs, lands in it.epoch():
-        prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+    for bi, (projs, segs, lands) in enumerate(it.epoch()):
+        # independent key per batch — reusing one key would correlate the
+        # augmentation draws across batches if anyone evaluates with aug on
+        bkey = jax.random.fold_in(key, bi)
+        prepared = prepare_batch(aug_cfg, bkey, projs, segs, lands)
         per_sample = eval_step(
             state, prepared["proj"], prepared["seg"], prepared.get("heats")
         )

@@ -243,7 +243,9 @@ def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = Non
         pred_seg = center_crop(pred_seg, (seg.shape[1], seg.shape[2]))
         if use_lands:
             pred_heats = center_crop(pred_heats, (heats.shape[1], heats.shape[2]))
-            return per_sample_joint(pred_seg, pred_heats, seg, heats, heat_coeff=0.5)
+            # one criterion for train AND validation (train.py:321-327,
+            # util.py:116-165): the configured heat_coeff applies here too
+            return per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff)
         return per_sample_dice(pred_seg, seg, skip_bg=False)
 
     return eval_step

@@ -52,6 +52,22 @@ class TestEnsembleEval:
         )
         assert np.isfinite(mean)
 
+    def test_heat_coeff_threading(self, setup):
+        """Ensemble loss eval honors the configured heat_coeff: the 0.7 run
+        must equal the exact recombination of the dice-only and 0.5 runs."""
+        _, h5p, cfg, model, variables = setup
+        data = load_dataset(h5p, [1])
+        nets = [(model, variables)]
+        m05, _ = ensemble_eval(data, nets, num_lands=14, batch_size=3,
+                               pad_img_dim=36, heat_coeff=0.5)
+        m07, _ = ensemble_eval(data, nets, num_lands=14, batch_size=3,
+                               pad_img_dim=36, heat_coeff=0.7)
+        mdice, _ = ensemble_eval(data, nets, num_lands=14, dice_only=True,
+                                 batch_size=3, pad_img_dim=36)
+        heat = (m05 - 0.5 * mdice) / 0.5
+        assert m07 == pytest.approx(0.3 * mdice + 0.7 * heat, rel=1e-4)
+        assert m05 != pytest.approx(m07, rel=1e-6)
+
     def test_identical_nets_match_single(self, setup):
         """Averaging K identical nets must equal the single net's loss."""
         _, h5p, cfg, model, variables = setup
@@ -61,6 +77,32 @@ class TestEnsembleEval:
         m3, _ = ensemble_eval(data, [(model, variables)] * 3, num_lands=14,
                                       batch_size=2, pad_img_dim=36)
         assert m1 == pytest.approx(m3, rel=1e-4)
+
+
+class TestValidConvTemplate:
+    def test_deep_valid_conv_checkpoint_loads(self, tmp_path):
+        """A deep padding=False (VALID-conv) checkpoint must rebuild: the
+        init template has to absorb per-level 3x3 shrinkage, not just the
+        2**depth halvings (previously crashed at load)."""
+        from deepfluoro_tpu.infer.ensemble import _template_dim, load_net_from_checkpoint
+        from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+        cfg = TrainConfig(
+            num_classes=7, depth=4, init_feats_exp=1, batch_norm=False,
+            padding=False, no_max_pool=True, num_lands=14, proj_unet_dim=64,
+        )
+        dim = _template_dim(cfg)
+        assert dim > 2 ** (cfg.depth + 2)  # the old bound was insufficient
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (dim, dim))
+        p = str(tmp_path / "valid.pt")
+        save_checkpoint(
+            p, meta=cfg.to_checkpoint_meta(), params=state.params,
+            batch_stats=state.batch_stats, opt_state=state.opt_state,
+        )
+        model2, variables, cfg2 = load_net_from_checkpoint(p, verbose=False)
+        assert cfg2.padding is False and cfg2.depth == 4
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(variables["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 class TestSegDatasetSingle:

@@ -92,6 +92,37 @@ class TestTrainStep:
         assert np.isfinite(float(loss))
 
 
+class TestEvalHeatCoeff:
+    def test_eval_step_honors_heat_coeff(self, fixture_h5):
+        """Validation must use the configured --heat-coeff (the reference
+        builds ONE criterion for train and valid, train.py:321-327).
+        Recover the dice and heat components from two evaluations and check
+        the 0.7-weighted loss is their exact recombination."""
+        from deepfluoro_tpu.data import AugmentConfig, load_dataset, prepare_batch
+
+        data = load_dataset(fixture_h5, [1])
+        cfg05 = small_cfg(heat_coeff=0.5)
+        cfg07 = small_cfg(heat_coeff=0.7)
+        model, state = make_train_state(cfg05, jax.random.PRNGKey(0), (36, 36))
+        aug = AugmentConfig(num_classes=7, proj_pad_dim=36, prob_of_aug=0.0)
+        b = prepare_batch(
+            aug, jax.random.PRNGKey(1), jnp.asarray(data.projs),
+            jnp.asarray(data.segs), jnp.asarray(data.lands),
+        )
+
+        l05 = np.asarray(make_eval_step(cfg05, model)(state, b["proj"], b["seg"], b["heats"]))
+        l07 = np.asarray(make_eval_step(cfg07, model)(state, b["proj"], b["seg"], b["heats"]))
+        dice = np.asarray(
+            make_eval_step(cfg05, model, num_lands_for_loss=0)(
+                state, b["proj"], b["seg"], b["heats"]
+            )
+        )
+        heat = (l05 - 0.5 * dice) / 0.5
+        np.testing.assert_allclose(l07, 0.3 * dice + 0.7 * heat, rtol=1e-5, atol=1e-6)
+        # and the weighting genuinely changes the result
+        assert not np.allclose(l05, l07)
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, fixture_h5):
         cfg = small_cfg()
