@@ -156,13 +156,18 @@ def _augment_proj_seg_lands(cfg: AugmentConfig, key, p, s, lands):
         if use_pallas:
             from deepfluoro_tpu.ops.pallas.warp import affine_warp_pallas
 
+            # guarded=False: the sampled ranges above (rot 5deg, shear 1deg,
+            # scale [0.9,1.1], translate 20px) are statically inside the
+            # kernel's band/apron envelope, and the runtime guard's lax.cond
+            # would batch into a both-branches select under this vmap
             p_warp = affine_warp_pallas(
                 p01, m, order=1,
                 out_shape=(h + 2 * extra, w + 2 * extra),
                 out_offset_xy=(-extra, -extra),
+                guarded=False,
             )
             if s is not None:
-                s = affine_warp_pallas(s.astype(jnp.float32), m, order=0)
+                s = affine_warp_pallas(s.astype(jnp.float32), m, order=0, guarded=False)
         else:
             p_warp = affine_warp(
                 p01, m, order=1,

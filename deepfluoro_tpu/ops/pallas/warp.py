@@ -142,7 +142,31 @@ def _default_apron(out_dim: int) -> int:
     return int(np.ceil(apron / 8.0) * 8)
 
 
-@partial(jax.jit, static_argnames=("order", "out_shape", "pad"))
+def _envelope_ok(mat, band: int, ow: int, oh_padded: int, h_pad: int, w_pad: int):
+    """Traced predicate: does the folded matrix stay inside the kernel's
+    correctness envelope?  Exactness needs (a) every tile's input-row span to
+    fit the static band (incl. the floor(-1) start, the <=7px sublane
+    round-down, and the 2-tap filter) and (b) the whole preimage to stay
+    inside the mirror-padded frame (the kernel clamps, which would silently
+    repeat border pixels).  Affine extremes live at the output corners."""
+    m00, m01, m02 = mat[0, 0], mat[0, 1], mat[0, 2]
+    m10, m11, m12 = mat[0, 3], mat[0, 4], mat[0, 5]
+    cx = jnp.array([0.5, ow - 0.5], jnp.float32)
+    cy = jnp.array([0.5, oh_padded - 0.5], jnp.float32)
+    xg, yg = jnp.meshgrid(cx, cy)
+    in_x = m00 * xg + m01 * yg + m02 - 0.5
+    in_y = m10 * xg + m11 * yg + m12 - 0.5
+    span = jnp.abs(m10) * (ow - 1) + jnp.abs(m11) * (_TILE - 1)
+    return (
+        (span + 11.0 <= band)
+        & (jnp.min(in_x) >= 0.0)
+        & (jnp.max(in_x) <= w_pad - 2.0)
+        & (jnp.min(in_y) >= 0.0)
+        & (jnp.max(in_y) <= h_pad - 2.0)
+    )
+
+
+@partial(jax.jit, static_argnames=("order", "out_shape", "pad", "guarded", "interpret"))
 def affine_warp_pallas(
     img: jnp.ndarray,
     inv_matrix: jnp.ndarray,
@@ -150,13 +174,23 @@ def affine_warp_pallas(
     out_shape: tuple[int, int] | None = None,
     out_offset_xy: tuple[float, float] = (0.0, 0.0),
     pad: int | None = None,
+    guarded: bool = True,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Mirror-boundary affine warp of an (H, W) image via the Pallas kernel.
 
-    Semantics match ``ops.image.affine_warp(..., mode='mirror')`` for
-    displacements up to ``pad`` pixels; the default apron covers the
-    augmentation parameter ranges at any training resolution.
-    """
+    Semantics match ``ops.image.affine_warp(..., mode='mirror')``. With
+    ``guarded=True`` (default) the envelope is checked at runtime against the
+    actual matrix and the call falls back to the exact XLA warp when the
+    kernel's static band/apron cannot represent it — so results are exact for
+    ANY affine. Callers whose parameter ranges are statically inside the
+    envelope (the augmentation pipeline: |rot|<=5deg, shear<=1deg,
+    scale<=1.1, |translate|<=20px) pass ``guarded=False``: under ``vmap`` a
+    ``lax.cond`` batches into a select that executes BOTH branches, which
+    would forfeit the kernel's speedup on the hot path.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (CPU-testable)."""
     h, w = img.shape
     oh, ow = (h, w) if out_shape is None else out_shape
     if pad is None:
@@ -189,14 +223,36 @@ def affine_warp_pallas(
     oh_tiles = -(-oh // _TILE)
     oh_padded = oh_tiles * _TILE
 
-    out = pl.pallas_call(
-        partial(_warp_kernel, order, band),
-        grid=(oh_tiles,),
-        out_shape=jax.ShapeDtypeStruct((oh_padded, ow), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TILE, ow), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )(mat, img_pad.astype(jnp.float32))
-    return out[:oh]
+    def run_kernel():
+        out = pl.pallas_call(
+            partial(_warp_kernel, order, band),
+            grid=(oh_tiles,),
+            out_shape=jax.ShapeDtypeStruct((oh_padded, ow), jnp.float32),
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (_TILE, ow), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(mat, img_pad.astype(jnp.float32))
+        return out[:oh]
+
+    if not guarded:
+        return run_kernel()
+
+    def run_fallback():
+        from deepfluoro_tpu.ops.image import affine_warp
+
+        return affine_warp(
+            img.astype(jnp.float32),
+            inv_matrix,
+            order=order,
+            out_shape=(oh, ow),
+            out_offset_xy=out_offset_xy,
+            mode="mirror",
+        )
+
+    ok = _envelope_ok(mat, band, ow, oh_padded, img_pad.shape[0], img_pad.shape[1])
+    return jax.lax.cond(ok, run_kernel, run_fallback)

@@ -14,32 +14,12 @@ import deepfluoro_tpu.ops.pallas.warp as W
 from deepfluoro_tpu.ops.image import affine_warp, inverse_affine_matrix
 
 
-def warp_interpret(img, m, order, out_shape, out_offset_xy, pad=64):
-    """The production kernel body run through the Pallas interpreter."""
-    h, w = img.shape
-    oh, ow = out_shape
-    img_pad = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
-    ox, oy = out_offset_xy
-    shift = m[:, 0] * ox + m[:, 1] * oy
-    mat = jnp.array(
-        [[m[0, 0], m[0, 1], m[0, 2] + shift[0] + pad,
-          m[1, 0], m[1, 1], m[1, 2] + shift[1] + pad, 0.0, 0.0]],
-        jnp.float32,
+def warp_interpret(img, m, order, out_shape, out_offset_xy, pad=64, guarded=False):
+    """The production wrapper run through the Pallas interpreter."""
+    return W.affine_warp_pallas(
+        img, m, order=order, out_shape=out_shape, out_offset_xy=out_offset_xy,
+        pad=pad, guarded=guarded, interpret=True,
     )
-    band = W._band_height(ow)
-    oh_tiles = -(-oh // W._TILE)
-    out = pl.pallas_call(
-        partial(W._warp_kernel, order, band),
-        grid=(oh_tiles,),
-        out_shape=jax.ShapeDtypeStruct((oh_tiles * W._TILE, ow), jnp.float32),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((W._TILE, ow), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=True,
-    )(mat, img_pad.astype(jnp.float32))
-    return out[:oh]
 
 
 @pytest.mark.parametrize(
@@ -74,6 +54,40 @@ def test_identity(rng):
     m = inverse_affine_matrix((32.0, 32.0), 0.0, (0.0, 0.0), 1.0, (0.0, 0.0))
     got = np.asarray(warp_interpret(img, m, 1, (64, 64), (0.0, 0.0)))
     np.testing.assert_allclose(got, np.asarray(img), atol=1e-5)
+
+
+class TestEnvelopeGuard:
+    def test_in_envelope_guarded_matches_unguarded(self, rng):
+        img = jnp.asarray(rng.random((90, 90)), jnp.float32)
+        m = inverse_affine_matrix((45.0, 45.0), 4.0, (10.0, -10.0), 1.05, (0.5, 0.5))
+        unguarded = np.asarray(warp_interpret(img, m, 1, (90, 90), (0.0, 0.0)))
+        guarded = np.asarray(warp_interpret(img, m, 1, (90, 90), (0.0, 0.0), guarded=True))
+        np.testing.assert_array_equal(guarded, unguarded)
+
+    @pytest.mark.parametrize(
+        "angle,trans,scale",
+        [
+            (40.0, (0.0, 0.0), 1.0),   # rotation far beyond the band's 5deg
+            (0.0, (80.0, 0.0), 1.0),   # translation beyond the mirror apron
+            (0.0, (0.0, 0.0), 0.4),    # zoom-out pulls preimage past the apron
+        ],
+    )
+    def test_out_of_envelope_falls_back_exact(self, rng, angle, trans, scale):
+        """An adversarial matrix outside the kernel envelope must return the
+        EXACT mirror-warp result via the XLA fallback, not clamped pixels.
+        Reference computed under jit: eager float contraction (FMA) differs
+        from compiled and can flip floor() at pixel-boundary coordinates."""
+        img = jnp.asarray(rng.random((90, 90)), jnp.float32)
+        m = inverse_affine_matrix((45.0, 45.0), angle, trans, scale, (0.0, 0.0))
+        want = np.asarray(
+            jax.jit(partial(affine_warp, order=1, mode="mirror"))(img, m)
+        )
+        got = np.asarray(warp_interpret(img, m, 1, (90, 90), (0.0, 0.0), guarded=True))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # sanity: the unguarded kernel genuinely corrupts this case (otherwise
+        # the adversarial matrix isn't adversarial and the test proves nothing)
+        raw = np.asarray(warp_interpret(img, m, 1, (90, 90), (0.0, 0.0)))
+        assert not np.allclose(raw, want, atol=1e-3)
 
 
 def test_band_height_covers_ranges():
