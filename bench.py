@@ -166,18 +166,20 @@ def bench_torch_cpu() -> float:
 
     with torch.no_grad():
         net(x)  # warmup
-        best = 0.0
-        for _trial in range(2):  # best-of, mirroring bench_jax's protocol
+        # median of per-iteration times over a real loop: a single forward
+        # per trial swings +-20% on CPU and would make vs_baseline unstable
+        iters = 10
+        times = []
+        for _ in range(iters):
             t0 = time.perf_counter()
             seg, heats = net(x)
             torch.argmax(seg, dim=1)
-            dt = time.perf_counter() - t0
-            best = max(best, BATCH / dt)
-    return best
+            times.append(time.perf_counter() - t0)
+    return BATCH / float(np.median(times))
 
 
 def get_torch_baseline() -> float:
-    config = "depth6 wf5 192x192 f32 batch{}".format(BATCH)
+    config = "depth6 wf5 192x192 f32 batch{} median10".format(BATCH)
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)

@@ -8,13 +8,12 @@ est_lands_csv.py:24-134.
 from __future__ import annotations
 
 import argparse
-import time
 
 import h5py as h5
 import numpy as np
 
 from deepfluoro_tpu.data.hdf5 import get_land_names_from_dataset
-from deepfluoro_tpu.eval.landmarks import detect_landmarks, write_landmarks_csv
+from deepfluoro_tpu.eval.landmarks import detect_landmarks_timed, write_landmarks_csv
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -46,13 +45,13 @@ def main(argv=None):
         segs = f[args.use_seg][:] if args.use_seg else None
 
     print("detecting landmark locations...")
-    start = time.time()
-    rows, cols = detect_landmarks(np.asarray(heats), land_names, segs)
-    elapsed = time.time() - start
-    per_land = elapsed / (rows.shape[0] * rows.shape[1])
+    # per-projection measured times (each projection's L detections run as
+    # one device program; its wall-clock is divided evenly over the rows) —
+    # keeps the reference's varying per-row `time` column contract
+    rows, cols, times = detect_landmarks_timed(np.asarray(heats), land_names, segs)
 
     write_landmarks_csv(
-        args.out, args.pat, rows, cols, per_land_time=per_land, no_hdr=args.no_hdr
+        args.out, args.pat, rows, cols, per_land_time=times, no_hdr=args.no_hdr
     )
 
 

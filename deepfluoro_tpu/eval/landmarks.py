@@ -110,26 +110,88 @@ def detect_landmarks(
     return np.asarray(rows), np.asarray(cols)
 
 
+def detect_landmarks_timed(
+    heats: np.ndarray,
+    land_names: list[str],
+    segs: np.ndarray | None = None,
+):
+    """Like :func:`detect_landmarks` but measured per projection so the CSV
+    ``time`` column varies per row like the reference's per-detection timing
+    (est_lands_csv.py:94,131-133).
+
+    One dispatch of the batched program per projection (compile excluded by a
+    warm-up call); each row's time is that projection's wall-clock divided
+    evenly over its L landmarks — an honest per-batch division, since the L
+    detections execute as one fused device program rather than the
+    reference's per-landmark Python loop.
+
+    Returns (rows (N, L), cols (N, L), times (N, L) seconds).
+    """
+    import time
+
+    n, l, h, w = heats.shape
+    assert len(land_names) == l
+    use_seg = segs is not None
+    if use_seg:
+        labels = np.array(
+            [SEG_LABELS_TO_USE_FOR_LANDS.get(nm, -1) for nm in land_names], np.int32
+        )
+    else:
+        labels = np.full((l,), -1, np.int32)
+    labels_dev = jnp.asarray(labels)
+
+    heats_f = heats.astype(np.float32, copy=False)
+    segs_i = None if segs is None else segs.astype(np.int32, copy=False)
+
+    def one(i):
+        hv = jnp.asarray(heats_f[i : i + 1])
+        sv = (
+            jnp.asarray(segs_i[i : i + 1])
+            if use_seg
+            else jnp.zeros((1, h, w), jnp.int32)
+        )
+        r, c = _detect_all(hv, sv, labels_dev, use_seg)
+        return np.asarray(r), np.asarray(c)
+
+    one(0)  # warm-up: compile outside the timed region
+
+    rows = np.empty((n, l), np.int32)
+    cols = np.empty((n, l), np.int32)
+    times = np.empty((n, l), np.float64)
+    for i in range(n):
+        t0 = time.perf_counter()
+        r, c = one(i)
+        dt = time.perf_counter() - t0
+        rows[i] = r[0]
+        cols[i] = c[0]
+        times[i] = dt / l
+    return rows, cols, times
+
+
 def write_landmarks_csv(
     out_path: str,
     pat_ind: int,
     rows: np.ndarray,
     cols: np.ndarray,
-    per_land_time: float = 0.0,
+    per_land_time: float | np.ndarray = 0.0,
     no_hdr: bool = False,
 ):
     """CSV contract of est_lands_csv.py:75-134: header ``pat,proj,land,row,
-    col,time``; -1,-1 marks not-found; '{:3f}' time formatting."""
+    col,time``; -1,-1 marks not-found; '{:3f}' time formatting.
+
+    ``per_land_time`` is a scalar or an (N, L) array of per-detection times.
+    """
+    n, l = rows.shape
+    times = np.broadcast_to(np.asarray(per_land_time, np.float64), (n, l))
     with open(out_path, "w") as csv_out:
         if not no_hdr:
             csv_out.write("pat,proj,land,row,col,time\n")
-        n, l = rows.shape
         for i in range(n):
             for land_ind in range(l):
                 csv_out.write(
                     "{},{},{},{},{},{:3f}\n".format(
                         pat_ind, i, land_ind,
                         int(rows[i, land_ind]), int(cols[i, land_ind]),
-                        per_land_time,
+                        times[i, land_ind],
                     )
                 )

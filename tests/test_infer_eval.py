@@ -82,6 +82,33 @@ class TestDetectLandmarks:
         rows, cols = detect_landmarks(heats, ["FH-l"], segs=segs)
         assert rows[0, 0] == -1
 
+    def test_timed_variant_matches_and_times_vary(self, tmp_path):
+        """detect_landmarks_timed returns identical detections plus measured
+        per-projection times; the CSV time column must vary per row
+        (reference est_lands_csv.py:94,131-133)."""
+        from deepfluoro_tpu.eval.landmarks import (
+            detect_landmarks_timed,
+            write_landmarks_csv,
+        )
+
+        peaks = [[(20, 30), (40, 10)], [(5, 5), (60, 60)], [(33, 12), (8, 57)]]
+        heats = self._perfect_heats(peaks)
+        rows, cols = detect_landmarks(heats, ["FH-l", "FH-r"], segs=None)
+        rows_t, cols_t, times = detect_landmarks_timed(heats, ["FH-l", "FH-r"], segs=None)
+        np.testing.assert_array_equal(rows_t, rows)
+        np.testing.assert_array_equal(cols_t, cols)
+        assert times.shape == rows.shape
+        assert (times > 0).all()
+        # measured per projection: not one constant for the whole file
+        assert len(np.unique(times)) >= len(peaks)
+
+        p = str(tmp_path / "lands.csv")
+        write_landmarks_csv(p, 1, rows_t, cols_t, per_land_time=times)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "pat,proj,land,row,col,time"
+        time_col = [ln.split(",")[5] for ln in lines[1:]]
+        assert len(set(time_col)) > 1
+
     def test_ncc_gate_rejects_non_gaussian_peak(self):
         heats = np.zeros((1, 1, 64, 64), np.float32)
         heats[0, 0, 20, 30] = 1.0  # a delta, not a sigma-2.5 gaussian
