@@ -1,33 +1,38 @@
-"""Train the full leave-one-specimen-out ensemble in ONE run.
+"""Train the full leave-one-specimen-out ensemble in ONE run — complete
+paper recipe per fold.
 
 The reference produces its 6-fold ensemble via six sequential train.py
-invocations; this CLI vmaps all folds' training into a single compiled
-program (train/multifold.py) and writes one standard self-describing
-checkpoint per fold, consumable by test_ensemble:
+invocations of the full recipe (train_test_code/Readme.md:14-17: plateau LR,
+best-valid checkpointing, resume, up to 500 epochs). This CLI vmaps all
+folds' training into a single compiled program (train/multifold.py
+fit_multifold): per-fold validation splits, per-fold LR state machines,
+per-fold best-valid + periodic checkpoints, full resume, wall-clock budget.
 
   python -m deepfluoro_tpu.cli.train_folds ipcai_2020_ds_8x.h5 \
     --pats 1,2,3,4,5,6 --num-classes 7 --init-lr 0.1 --momentum 0.9 \
     --unet-batch-norm --unet-no-max-pool --unet-img-dim 192 \
     --unet-num-lvls 6 --batch-size 5 --epochs 500 --unet-init-feats-exp 5 \
     --wgt-decay 0.0001 --data-aug --unet-padding --nesterov --use-lands \
-    --net-prefix yy_fold
+    --lr-sched plateau --train-valid-split 0.85 --net-prefix yy_fold
 
-Writes yy_fold_spec01.pt ... yy_fold_spec06.pt, where spec0K was HELD OUT
-of fold K's training (test it on specimen K).
+Writes, per fold (spec0K HELD OUT of fold K's training — test on it):
+  <net-prefix>_spec0K.pt             best-validation network (the ensemble
+                                     member; consumable by test_ensemble)
+  <checkpoint-prefix>_spec0K.pt      periodic/resume checkpoint
 """
 
 from __future__ import annotations
 
 import argparse
 
-from deepfluoro_tpu.data.hdf5 import get_num_lands_from_dataset, load_dataset
+from deepfluoro_tpu.data.hdf5 import get_num_lands_from_dataset
 from deepfluoro_tpu.train import TrainConfig
-from deepfluoro_tpu.train.multifold import save_fold_checkpoints, train_multifold
+from deepfluoro_tpu.train.multifold import fit_multifold
 
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
-        description="Train all leave-one-specimen-out folds simultaneously.",
+        description="Train all leave-one-specimen-out folds simultaneously (full recipe).",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
     parser.add_argument("input_data_file_path", type=str)
@@ -35,11 +40,19 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num-classes", type=int, default=7)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--unet-img-dim", type=int, default=364)
-    parser.add_argument("--epochs", type=int, default=200)
+    parser.add_argument("--epochs", help="Maximum number of epochs", type=int, default=200)
+    parser.add_argument("--optim", help="Optimization strategy to use.", type=str, default="sgd")
+    parser.add_argument("--lr-sched", help="'cos' | 'plateau' | 'none' (per-fold state machines)", type=str, default="plateau")
     parser.add_argument("--init-lr", type=float, default=1.0e-2)
+    parser.add_argument("--lr-patience", type=int, default=20)
+    parser.add_argument("--lr-cooldown", type=int, default=20)
+    parser.add_argument("--cos-anneal-epochs", type=int, default=10)
+    parser.add_argument("--cos-growth", type=int, default=2)
+    parser.add_argument("--max-num-restarts", type=int, default=-1)
     parser.add_argument("--momentum", type=float, default=0.9)
     parser.add_argument("--wgt-decay", type=float, default=0.0)
     parser.add_argument("--nesterov", action="store_true")
+    parser.add_argument("--max-hours", type=float, default=-1.0)
     parser.add_argument("--unet-num-lvls", type=int, default=5)
     parser.add_argument("--unet-init-feats-exp", type=int, default=4)
     parser.add_argument("--unet-batch-norm", action="store_true")
@@ -50,7 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-aug", action="store_true")
     parser.add_argument("--use-lands", action="store_true")
     parser.add_argument("--heat-coeff", type=float, default=0.5)
-    parser.add_argument("--net-prefix", type=str, default="zz_fold")
+    parser.add_argument("--dice-valid", help="Use only dice validation loss even when training with dice + heatmap loss", action="store_true")
+    parser.add_argument("--train-valid-split", help="Per-fold ratio of the training pool kept for training; the rest validates", type=float, default=0.85)
+    parser.add_argument("--checkpoint-freq", type=int, default=1)
+    parser.add_argument("--net-prefix", help="Prefix for per-fold BEST-VALIDATION networks <prefix>_specXX.pt", type=str, default="zz_fold")
+    parser.add_argument("--checkpoint-prefix", help="Prefix for per-fold resume checkpoints", type=str, default="zz_fold_checkpoint")
+    parser.add_argument("--train-loss-prefix", help="Prefix for per-fold train loss txt files ('' disables)", type=str, default="")
+    parser.add_argument("--valid-loss-prefix", help="Prefix for per-fold valid loss txt files ('' disables)", type=str, default="")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-gpu", action="store_true")
@@ -77,12 +96,19 @@ def main(argv=None):
         num_classes=args.num_classes,
         batch_size=args.batch_size,
         proj_unet_dim=args.unet_img_dim,
-        optim_type="sgd",
+        optim_type=args.optim,
         init_lr=args.init_lr,
         nesterov=args.nesterov,
         momentum=args.momentum,
         wgt_decay=args.wgt_decay,
-        lr_sched_meth="none",
+        lr_sched_meth=args.lr_sched.lower(),
+        lr_patience=args.lr_patience,
+        lr_cooldown=args.lr_cooldown,
+        lrs_num_epochs=args.cos_anneal_epochs,
+        lrs_growth_factor=args.cos_growth,
+        max_num_restarts=args.max_num_restarts,
+        max_num_epochs=args.epochs,
+        max_hours=args.max_hours,
         depth=args.unet_num_lvls,
         init_feats_exp=args.unet_init_feats_exp,
         batch_norm=args.unet_batch_norm,
@@ -93,22 +119,28 @@ def main(argv=None):
         data_aug=args.data_aug,
         num_lands=num_lands,
         heat_coeff=args.heat_coeff,
+        use_dice_valid=args.dice_valid,
+        train_valid_split=args.train_valid_split,
+        checkpoint_freq=args.checkpoint_freq,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
 
-    print("loading fold datasets ({} folds)".format(len(pats)))
-    folds = [
-        load_dataset(args.input_data_file_path, [p for p in pats if p != held_out])
-        for held_out in pats
-    ]
-
-    model, stacked, hist = train_multifold(folds, cfg, num_epochs=args.epochs, seed=args.seed)
-
-    paths = ["{}_spec{:02d}.pt".format(args.net_prefix, p) for p in pats]
-    save_fold_checkpoints(cfg, stacked, paths, epoch=args.epochs, last_losses=hist[-1])
-    for p in paths:
-        print("wrote", p)
+    out = fit_multifold(
+        args.input_data_file_path,
+        pats,
+        cfg,
+        checkpoint_prefix=args.checkpoint_prefix,
+        best_prefix=args.net_prefix,
+        train_loss_txt_prefix=args.train_loss_prefix or None,
+        valid_loss_txt_prefix=args.valid_loss_prefix or None,
+    )
+    for k, p in enumerate(pats):
+        print(
+            "fold {} (held-out spec {:02d}): best valid {:.6f} -> {}_spec{:02d}.pt".format(
+                k, p, out["best_valid_losses"][k], args.net_prefix, p
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -38,6 +38,13 @@ def get_orig_img_shape(h5_file_path: str, pat_ind: int) -> tuple[int, int]:
     return (s[1], s[2])
 
 
+def specimen_counts(h5_file_path: str, pat_inds: Sequence[int]) -> list[int]:
+    """Projection counts per specimen (metadata read only) — recovers the
+    per-specimen index ranges of a concatenated :func:`load_dataset` union."""
+    with h5.File(h5_file_path, "r") as f:
+        return [int(f["{:02d}/projs".format(p)].shape[0]) for p in pat_inds]
+
+
 def get_num_lands_from_dataset(h5_file_path: str) -> int:
     with h5.File(h5_file_path, "r") as f:
         return int(f["land-names/num-lands"][()])

@@ -1,34 +1,63 @@
-"""Simultaneous leave-one-specimen-out fold training.
+"""Simultaneous leave-one-specimen-out fold training — the FULL paper recipe.
 
-The reference's 6-fold ensemble is produced by six sequential training runs
-(train_test_code/Readme.md: one train.py invocation per held-out specimen).
-On TPU the natural formulation is to *vmap the whole training step over a
-fold axis*: K independent parameter sets update in one compiled program, the
-convolutions batch across folds to keep the MXU saturated, and the fold axis
-can additionally be sharded across devices ('ensemble' mesh axis).
+The reference's 6-fold ensemble is produced by six sequential complete
+training runs (train_test_code/Readme.md:14-17: plateau LR, best-valid
+checkpointing, resume, up to 500 epochs — one train.py invocation per
+held-out specimen, train.py:376-577). On TPU the natural formulation is to
+*vmap the whole training step over a fold axis*: K independent parameter
+sets update in one compiled program, the convolutions batch across folds to
+keep the MXU saturated, and the fold axis can additionally be sharded across
+devices over an 'ensemble' mesh axis (shard_map; folds are independent so no
+collectives are needed).
 
-Each fold sees its own data stream (its training specimens differ), so the
-host assembles a (K, B, ...) stacked batch per step from K independent
-iterators; augmentation PRNG keys are split per fold.
+TPU-first memory design: all K folds gather from ONE shared device-resident
+copy of the archive (the union of all specimens). Each fold's identity lives
+purely in its index sets — which global indices it may train/validate on —
+so K folds cost one dataset upload instead of K overlapping copies, and a
+training step is a single device dispatch: (K, B) index gather + device-side
+augmentation + K-fold fused update (matching step.py::make_fused_train_step).
+
+``fit_multifold`` mirrors ``loop.fit`` exactly: per-fold train/valid split,
+plateau/cos/none LR scheduling (K host state machines feeding a (K,) LR
+vector), per-fold best-valid + periodic checkpoints (standard self-describing
+files consumable by test_ensemble), full resume, wall-clock budget, SIGTERM
+graceful exit.
+
+Documented divergence from K sequential runs: folds train in lockstep, so
+the per-epoch step count is shared — ceil(max_k n_k / batch) full batches
+per epoch, with smaller folds drawing from reshuffled wrap-around streams
+(every fold sees at least one full pass per epoch; sequential reference runs
+instead end each epoch exactly at their own dataset boundary).
 """
 
 from __future__ import annotations
+
+import os
+import signal
+import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
-from deepfluoro_tpu.data.hdf5 import FluoroData
-from deepfluoro_tpu.data.pipeline import BatchIterator
+from deepfluoro_tpu.data.hdf5 import FluoroData, load_dataset, specimen_counts
+from deepfluoro_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    restore_tree,
+)
 from deepfluoro_tpu.train.config import TrainConfig, build_model
+from deepfluoro_tpu.train.schedules import ReduceLROnPlateau, WarmRestartLR
 from deepfluoro_tpu.train.step import (
     TrainState,
     grad_and_update,
+    make_eval_losses_fn,
     make_loss_fn,
     make_optimizer,
     make_train_state,
 )
+from deepfluoro_tpu.utils.io import RunningFloatWriter
 
 
 def make_multifold_state(cfg: TrainConfig, num_folds: int, rng_key, sample_shape):
@@ -43,29 +72,94 @@ def make_multifold_state(cfg: TrainConfig, num_folds: int, rng_key, sample_shape
     return model, stacked
 
 
-def make_multifold_train_step(cfg: TrainConfig, model, tx):
-    """Returns jitted step(stacked_state, proj (K,B,H,W,1), seg, heats, lr)
-    -> (stacked_state, losses (K,))."""
-    loss_fn = make_loss_fn(cfg, model)
-
-    def one_fold_step(state: TrainState, proj, seg, heats, lr):
-        return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
-
-    from functools import partial
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def step(stacked_state, proj, seg, heats, lr):
-        return jax.vmap(one_fold_step, in_axes=(0, 0, 0, 0, None))(
-            stacked_state, proj, seg, heats, lr
-        )
-
-    return step
-
-
 def fold_state(stacked_state, k: int):
     """Extract fold k's variables from the stacked state (for checkpointing
     each fold as a standard self-describing checkpoint)."""
     return jax.tree.map(lambda x: x[k], stacked_state)
+
+
+def _maybe_shard_over_folds(mesh, fn, num_array_args: int):
+    """Wrap the (stacked_state, dataset..., per-fold arrays...) function in a
+    shard_map over the 'ensemble' mesh axis. Folds are fully independent, so
+    each device simply runs its K/n folds' vmapped program — no collectives.
+    (GSPMD alone mispartitions the grouped convs a vmapped ensemble lowers
+    to; see parallel/sharding.py — shard_map sidesteps that.)"""
+    from jax.sharding import PartitionSpec as P
+    fold_spec = P("ensemble")
+    # stacked_state + 3 dataset arrays (replicated) + per-fold arrays
+    in_specs = (fold_spec, P(), P(), P()) + (fold_spec,) * num_array_args
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(fold_spec, fold_spec),
+        check_vma=False,
+    )
+
+
+def make_fused_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None):
+    """One-dispatch-per-step K-fold training.
+
+    Returns step(stacked_state, projs_all, segs_all, lands_all,
+    idx (K, B) int32, step_seeds (K,) int32, lr_vec (K,) float32)
+    -> (stacked_state, losses (K,)).
+
+    The dataset arrays are the SHARED union archive; each fold's (B,) index
+    row selects its own batch. Gather + augmentation + value_and_grad +
+    optax update all fuse into one XLA program vmapped over folds.
+    """
+    loss_fn = make_loss_fn(cfg, model)
+
+    def step_impl(stacked_state, projs_all, segs_all, lands_all, idx, step_seeds, lr_vec):
+        def one_fold(state: TrainState, fold_idx, seed, lr):
+            projs = jnp.take(projs_all, fold_idx, axis=0)
+            segs = jnp.take(segs_all, fold_idx, axis=0) if segs_all is not None else None
+            lands = jnp.take(lands_all, fold_idx, axis=0) if lands_all is not None else None
+            key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), seed)
+            prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+            return grad_and_update(
+                loss_fn, tx, state,
+                prepared["proj"], prepared.get("seg"), prepared.get("heats"), lr,
+            )
+
+        return jax.vmap(one_fold, in_axes=(0, 0, 0, 0))(
+            stacked_state, idx, step_seeds, lr_vec
+        )
+
+    if mesh is not None:
+        step_impl = _maybe_shard_over_folds(mesh, step_impl, num_array_args=3)
+    return jax.jit(step_impl, donate_argnums=(0,))
+
+
+def make_multifold_eval_step(cfg: TrainConfig, model, aug_cfg, num_lands_for_loss=None, mesh=None):
+    """Vmapped K-fold validation: eval(stacked_state, projs_all, segs_all,
+    lands_all, idx (K, B)) -> (K, B) per-sample losses (padded entries are
+    the caller's to mask)."""
+    eval_losses = make_eval_losses_fn(cfg, model, num_lands_for_loss)
+
+    def eval_impl(stacked_state, projs_all, segs_all, lands_all, idx):
+        def one_fold(state: TrainState, fold_idx):
+            projs = jnp.take(projs_all, fold_idx, axis=0)
+            segs = jnp.take(segs_all, fold_idx, axis=0) if segs_all is not None else None
+            lands = jnp.take(lands_all, fold_idx, axis=0) if lands_all is not None else None
+            prepared = prepare_batch(aug_cfg, jax.random.PRNGKey(0), projs, segs, lands)
+            return eval_losses(
+                state, prepared["proj"], prepared.get("seg"), prepared.get("heats")
+            )
+
+        return jax.vmap(one_fold)(stacked_state, idx)
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        eval_impl = jax.shard_map(
+            eval_impl,
+            mesh=mesh,
+            in_specs=(P("ensemble"), P(), P(), P(), P("ensemble")),
+            out_specs=P("ensemble"),
+            check_vma=False,
+        )
+    return jax.jit(eval_impl)
 
 
 def save_fold_checkpoints(
@@ -92,6 +186,440 @@ def save_fold_checkpoints(
         )
 
 
+class _FoldStream:
+    """Infinite shuffled index stream over a fold's training indices.
+    Reshuffles on exhaustion so lockstep epochs can draw full batches past
+    the fold's own dataset boundary (wrap-around)."""
+
+    def __init__(self, indices: np.ndarray, seed: int):
+        self._indices = np.asarray(indices, np.int32)
+        self._rng = np.random.default_rng(seed)
+        self._perm = self._rng.permutation(self._indices)
+        self._pos = 0
+
+    def take(self, n: int) -> np.ndarray:
+        out = []
+        while n > 0:
+            avail = len(self._perm) - self._pos
+            if avail == 0:
+                self._perm = self._rng.permutation(self._indices)
+                self._pos = 0
+                avail = len(self._perm)
+            grab = min(n, avail)
+            out.append(self._perm[self._pos : self._pos + grab])
+            self._pos += grab
+            n -= grab
+        return np.concatenate(out)
+
+
+def _split_pool(pool: np.ndarray, split: float, seed: int):
+    """Random train/valid split of a fold's index pool (same semantics as
+    data.hdf5.split_train_valid: ceil(split*n) train, shuffled)."""
+    import math
+    import random as _pyrandom
+
+    n = len(pool)
+    num_train = int(math.ceil(split * n))
+    if n - num_train == 0:
+        raise ValueError(
+            "train_valid_split={} leaves an empty validation set for {} samples".format(split, n)
+        )
+    order = list(range(n))
+    _pyrandom.Random(seed).shuffle(order)
+    return pool[order[:num_train]], pool[order[num_train:]]
+
+
+def fit_multifold(
+    data_file_path: str,
+    pats: list[int],
+    cfg: TrainConfig,
+    checkpoint_prefix: str = "zz_fold_checkpoint",
+    best_prefix: str = "zz_fold_best",
+    train_loss_txt_prefix: str | None = None,
+    valid_loss_txt_prefix: str | None = None,
+    mesh=None,
+    verbose: bool = True,
+):
+    """Train all K = len(pats) leave-one-specimen-out folds simultaneously
+    with the complete reference recipe (train.py:376-577 per fold).
+
+    Fold k holds out pats[k] and trains on the remaining specimens, with its
+    own cfg.train_valid_split validation split. Writes, per fold:
+      <checkpoint_prefix>_specXX.pt   periodic + on-exit checkpoint
+      <best_prefix>_specXX.pt         best-validation network
+    both standard self-describing checkpoints. Resume restores every fold
+    (all-or-nothing: all fold checkpoints must exist and agree on the epoch).
+
+    Returns dict(model=..., stacked_state=..., cfg=..., epoch=...,
+    best_valid_losses=(K,), fold_pats=pats).
+    """
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    k_folds = len(pats)
+    assert k_folds >= 2, "need at least two specimens for leave-one-out"
+    assert 0.0 < cfg.train_valid_split < 1.0, (
+        "fit_multifold validates on a per-fold split of the training pool "
+        "(the held-out specimen is the TEST set); set cfg.train_valid_split"
+    )
+
+    ck_paths = ["{}_spec{:02d}.pt".format(checkpoint_prefix, p) for p in pats]
+    best_paths = ["{}_spec{:02d}.pt".format(best_prefix, p) for p in pats]
+
+    # ----- resume ---------------------------------------------------------
+    have_ck = [os.path.exists(p) for p in ck_paths]
+    resume = all(have_ck)
+    if any(have_ck) and not resume:
+        raise RuntimeError(
+            "partial fold-checkpoint set: {} exist, {} missing — refusing a "
+            "mixed resume".format(
+                [p for p, h in zip(ck_paths, have_ck) if h],
+                [p for p, h in zip(ck_paths, have_ck) if not h],
+            )
+        )
+
+    prev = None
+    if resume:
+        log("loading state from {} fold checkpoints...".format(k_folds))
+        prev = [load_checkpoint(p) for p in ck_paths]
+        cfg = TrainConfig.from_checkpoint_meta(prev[0]["meta"], base=cfg)
+        epochs = {int(ck["epoch"]) for ck in prev}
+        assert len(epochs) == 1, "fold checkpoints disagree on epoch: {}".format(epochs)
+
+    lrs_is_cos = cfg.lr_sched_meth == "cos"
+    lrs_none = cfg.lr_sched_meth == "none"
+    lrs_plateau = cfg.lr_sched_meth == "plateau"
+    assert lrs_is_cos or lrs_none or lrs_plateau
+
+    # ----- data: ONE device-resident union of all specimens ---------------
+    log("initializing union dataset ({} specimens)".format(k_folds))
+    union = load_dataset(data_file_path, pats)
+    counts = specimen_counts(data_file_path, pats)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    spec_ranges = [np.arange(offsets[i], offsets[i + 1]) for i in range(k_folds)]
+
+    train_idx, valid_idx = [], []
+    for k in range(k_folds):
+        pool = np.concatenate([spec_ranges[j] for j in range(k_folds) if j != k])
+        if resume:
+            t = np.asarray(prev[k]["train-idx"], np.int64)
+            v = np.asarray(prev[k]["valid-idx"], np.int64)
+            assert len(t) and len(v)
+        else:
+            t, v = _split_pool(pool, cfg.train_valid_split, cfg.seed + k)
+        train_idx.append(t)
+        valid_idx.append(v)
+        log(
+            "fold {} (held-out spec {:02d}): {} train / {} valid".format(
+                k, pats[k], len(train_idx[k]), len(valid_idx[k])
+            )
+        )
+
+    orig_h, orig_w = union.orig_img_shape
+    from deepfluoro_tpu.train.loop import _padded_dim
+
+    pad_h = _padded_dim(orig_h, cfg.proj_unet_dim)
+
+    aug_train = AugmentConfig(
+        num_classes=cfg.num_classes,
+        proj_pad_dim=cfg.proj_unet_dim,
+        prob_of_aug=0.5 if cfg.data_aug else 0.0,
+    )
+    aug_eval = AugmentConfig(
+        num_classes=cfg.num_classes, proj_pad_dim=cfg.proj_unet_dim, prob_of_aug=0.0
+    )
+
+    # ----- model / optimizer / schedules ----------------------------------
+    log("creating {} fold networks".format(k_folds))
+    model, stacked = make_multifold_state(
+        cfg, k_folds, jax.random.PRNGKey(cfg.seed), (pad_h, pad_h)
+    )
+    tx = make_optimizer(cfg)
+
+    def new_sched():
+        if cfg.optim_type != "sgd":
+            assert lrs_none, "adam/rmsprop only support lr-sched none (train.py:343-352)"
+            return None
+        if lrs_is_cos:
+            return WarmRestartLR(
+                cfg.init_lr,
+                init_run_period_epochs=cfg.lrs_num_epochs,
+                growth_factor=cfg.lrs_growth_factor,
+            )
+        if lrs_plateau:
+            return ReduceLROnPlateau(
+                cfg.init_lr, factor=0.1, patience=cfg.lr_patience, cooldown=cfg.lr_cooldown
+            )
+        return None
+
+    scheds = [new_sched() for _ in range(k_folds)]
+
+    epoch = 0
+    best_valid = [None] * k_folds
+    num_restarts = 0
+    if resume:
+        per_fold = []
+        for k in range(k_folds):
+            st = fold_state(stacked, k)
+            per_fold.append(
+                TrainState(
+                    params=restore_tree(st.params, prev[k]["model-state-dict"]["params"]),
+                    batch_stats=restore_tree(
+                        st.batch_stats, prev[k]["model-state-dict"]["batch_stats"]
+                    ),
+                    opt_state=restore_tree(st.opt_state, prev[k]["optimizer-state-dict"]),
+                    step=st.step,
+                )
+            )
+            if scheds[k] is not None and prev[k]["scheduler-state-dict"]:
+                scheds[k].load_state_dict(prev[k]["scheduler-state-dict"])
+            bvl = float(prev[k]["best-valid-loss"])
+            best_valid[k] = None if np.isnan(bvl) else bvl
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_fold)
+        epoch = int(prev[0]["epoch"])
+        num_restarts = int(prev[0]["lrs-num-restarts"])
+        del prev, per_fold
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        fold_sharding = NamedSharding(mesh, P("ensemble"))
+        stacked = jax.device_put(stacked, fold_sharding)
+
+    fused_step = make_fused_multifold_step(cfg, model, tx, aug_train, mesh=mesh)
+    eval_step = make_multifold_eval_step(
+        cfg, model, aug_eval,
+        num_lands_for_loss=0 if cfg.use_dice_valid else None,
+        mesh=mesh,
+    )
+
+    projs_all = jnp.asarray(union.projs)
+    segs_all = None if union.segs is None else jnp.asarray(union.segs)
+    lands_all = None if union.lands is None else jnp.asarray(union.lands)
+
+    streams = [_FoldStream(train_idx[k], cfg.seed + 101 * (k + 1)) for k in range(k_folds)]
+    steps_per_epoch = -(-max(len(t) for t in train_idx) // cfg.batch_size)
+
+    # fixed padded validation index grid: (num_eval_batches * B) per fold,
+    # repeating index 0 past each fold's true count; mask selects real rows
+    max_valid = max(len(v) for v in valid_idx)
+    n_eval_batches = -(-max_valid // cfg.batch_size)
+    eval_cols = n_eval_batches * cfg.batch_size
+    eval_idx = np.zeros((k_folds, eval_cols), np.int32)
+    eval_mask = np.zeros((k_folds, eval_cols), bool)
+    for k in range(k_folds):
+        nv = len(valid_idx[k])
+        eval_idx[k, :nv] = valid_idx[k]
+        eval_idx[k, nv:] = valid_idx[k][0]
+        eval_mask[k, :nv] = True
+
+    checkpointer = AsyncCheckpointer()
+
+    def writer_set(prefix, new_file):
+        # multi-host: process 0 owns the loss-log files (checkpoint writes
+        # are gated inside save_checkpoint / AsyncCheckpointer)
+        if prefix is None or jax.process_index() != 0:
+            return None
+        return [
+            RunningFloatWriter("{}_spec{:02d}.txt".format(prefix, p), new_file=new_file)
+            for p in pats
+        ]
+
+    train_loss_out = writer_set(train_loss_txt_prefix, not resume)
+    valid_loss_out = writer_set(valid_loss_txt_prefix, not resume)
+
+    enforce_max_hours = cfg.max_hours > 0
+    enforce_max_num_restarts = cfg.max_num_restarts > 0
+    tot_time_hours = 0.0
+    epochs_this_session = 0
+    last_losses = np.full((k_folds,), np.nan)
+
+    stop_requested = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        log("SIGTERM received - will checkpoint and exit after this epoch")
+        stop_requested["flag"] = True
+
+    prev_handler = None
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass
+
+    def save_fold(k, path):
+        st = fold_state(stacked, k)
+        checkpointer.save(
+            path,
+            meta=cfg.to_checkpoint_meta(),
+            params=st.params,
+            batch_stats=st.batch_stats,
+            opt_state=st.opt_state,
+            sched_state=scheds[k].state_dict() if scheds[k] is not None else None,
+            epoch=epoch,
+            best_valid_loss=best_valid[k],
+            last_loss=None if np.isnan(last_losses[k]) else float(last_losses[k]),
+            num_restarts=num_restarts,
+            train_idx=train_idx[k],
+            valid_idx=valid_idx[k],
+        )
+
+    log("Start Training ({} folds in lockstep)...".format(k_folds))
+    keep_training = True
+    while keep_training:
+        epoch_start = time.time()
+        log("Epoch: {:03d}".format(epoch))
+
+        pending = []  # (K,) device loss vectors, drained lazily
+
+        def drain():
+            nonlocal last_losses
+            for dev in pending:
+                vals = np.asarray(dev)
+                last_losses = vals
+                if train_loss_out is not None:
+                    for k in range(k_folds):
+                        train_loss_out[k].write(float(vals[k]))
+            pending.clear()
+
+        for s in range(steps_per_epoch):
+            idx = np.stack([st.take(cfg.batch_size) for st in streams])
+            if scheds[0] is not None:
+                lr_vec = np.asarray([sc.get_lr() for sc in scheds], np.float32)
+            else:
+                lr_vec = np.full((k_folds,), cfg.init_lr, np.float32)
+            base = (epoch * steps_per_epoch + s) * k_folds
+            seeds = base + np.arange(k_folds, dtype=np.int32)
+
+            stacked, losses = fused_step(
+                stacked, projs_all, segs_all, lands_all,
+                jnp.asarray(idx), jnp.asarray(seeds), jnp.asarray(lr_vec),
+            )
+            pending.append(losses)
+
+            if lrs_is_cos and scheds[0] is not None:
+                frac = (s + 1) / steps_per_epoch
+                for sc in scheds:
+                    sc.intra_epoch_step(frac)
+
+            if len(pending) >= max(1, steps_per_epoch // 4):
+                drain()
+
+        drain()
+
+        log("  Running validation")
+        per_fold_losses = [[] for _ in range(k_folds)]
+        for b in range(n_eval_batches):
+            sl = slice(b * cfg.batch_size, (b + 1) * cfg.batch_size)
+            batch_losses = np.asarray(
+                eval_step(stacked, projs_all, segs_all, lands_all, jnp.asarray(eval_idx[:, sl]))
+            )
+            for k in range(k_folds):
+                m = eval_mask[k, sl]
+                per_fold_losses[k].extend(batch_losses[k][m])
+
+        avg_valid = np.array([float(np.mean(l)) for l in per_fold_losses])
+        std_valid = np.array(
+            [float(np.std(l, ddof=1)) if len(l) > 1 else 0.0 for l in per_fold_losses]
+        )
+        if valid_loss_out is not None:
+            for k in range(k_folds):
+                valid_loss_out[k].write(float(avg_valid[k]))
+
+        log("  Avg. Training Losses: {}".format(np.round(last_losses, 6)))
+        for k in range(k_folds):
+            log(
+                "  fold {} (spec {:02d}) valid: {:.6f} +/- {:.6f}".format(
+                    k, pats[k], avg_valid[k], std_valid[k]
+                )
+            )
+
+        for k, sc in enumerate(scheds):
+            if sc is None:
+                continue
+            if lrs_plateau:
+                sc.step(float(avg_valid[k]))
+            else:
+                sc.step()
+        # cos restarts are config-deterministic, so all folds restart together
+        if lrs_is_cos and scheds[0] is not None and scheds[0].just_restarted:
+            log("  Next epoch is warm restart...")
+            num_restarts += 1
+
+        epoch += 1
+
+        new_best = []
+        for k in range(k_folds):
+            if best_valid[k] is None or avg_valid[k] < best_valid[k]:
+                best_valid[k] = float(avg_valid[k])
+                new_best.append(k)
+
+        saved_ck_this_epoch = False
+        if (epoch % cfg.checkpoint_freq) == 0:
+            log("  Saving fold checkpoints")
+            for k in range(k_folds):
+                save_fold(k, ck_paths[k])
+            saved_ck_this_epoch = True
+
+        if cfg.save_best_valid and new_best:
+            log(
+                "  Saving best validation for folds {} (losses {})".format(
+                    new_best, [round(best_valid[k], 6) for k in new_best]
+                )
+            )
+            for k in new_best:
+                save_fold(k, best_paths[k])
+
+        this_epoch_hours = (time.time() - epoch_start) / 3600.0
+        log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
+        tot_time_hours += this_epoch_hours
+        epochs_this_session += 1
+        avg_epoch_time_hours = tot_time_hours / epochs_this_session
+
+        if stop_requested["flag"]:
+            keep_training = False
+            log("  Exiting - termination requested!")
+        if enforce_max_hours and (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
+            log("  Exiting - did not expect to complete next epoch within time limit!")
+            keep_training = False
+        if enforce_max_num_restarts:
+            if num_restarts >= cfg.max_num_restarts:
+                keep_training = False
+                log("  Exiting - maximum number of restarts performed!")
+        elif epoch >= cfg.max_num_epochs:
+            keep_training = False
+            log("  Exiting - maximum number of epochs performed!")
+
+        if not keep_training and not saved_ck_this_epoch:
+            log("    saving fold checkpoints before exit!")
+            for k in range(k_folds):
+                save_fold(k, ck_paths[k])
+
+    log("Training Hours: {:.4f}".format(tot_time_hours))
+    checkpointer.wait()
+    for ws in (train_loss_out, valid_loss_out):
+        if ws is not None:
+            for w in ws:
+                w.close()
+    if prev_handler is not None:
+        try:
+            signal.signal(signal.SIGTERM, prev_handler)
+        except ValueError:
+            pass
+
+    return {
+        "model": model,
+        "stacked_state": stacked,
+        "cfg": cfg,
+        "epoch": epoch,
+        "best_valid_losses": np.array(
+            [np.nan if b is None else b for b in best_valid]
+        ),
+        "fold_pats": list(pats),
+    }
+
+
 def train_multifold(
     data_per_fold: list[FluoroData],
     cfg: TrainConfig,
@@ -100,10 +628,11 @@ def train_multifold(
     seed: int = 0,
     verbose: bool = True,
 ):
-    """Train K folds simultaneously; returns (model, stacked_state, losses).
+    """Constant-LR K-fold training over explicit per-fold datasets (a
+    throughput/demo path; use :func:`fit_multifold` for the paper recipe).
 
-    data_per_fold[k] is fold k's *training* data (its held-out specimen
-    excluded by the caller). Epoch length follows the smallest fold.
+    One device dispatch per step: the K datasets are concatenated into one
+    device-resident array and each fold gathers via its own index offset.
     """
     k_folds = len(data_per_fold)
     assert k_folds >= 1
@@ -116,39 +645,43 @@ def train_multifold(
         cfg, k_folds, jax.random.PRNGKey(cfg.seed), (pad_h, pad_h)
     )
     tx = make_optimizer(cfg)
-    step = make_multifold_train_step(cfg, model, tx)
 
     aug = AugmentConfig(
         num_classes=cfg.num_classes,
         proj_pad_dim=cfg.proj_unet_dim,
         prob_of_aug=0.5 if cfg.data_aug else 0.0,
     )
+    fused = make_fused_multifold_step(cfg, model, tx, aug)
 
-    iters = [
-        BatchIterator(d, batch_size=cfg.batch_size, shuffle=True, seed=seed + k)
-        for k, d in enumerate(data_per_fold)
+    has_segs = data_per_fold[0].segs is not None
+    has_lands = data_per_fold[0].lands is not None
+    projs_all = jnp.asarray(np.concatenate([d.projs for d in data_per_fold]))
+    segs_all = (
+        jnp.asarray(np.concatenate([d.segs for d in data_per_fold])) if has_segs else None
+    )
+    lands_all = (
+        jnp.asarray(np.concatenate([d.lands for d in data_per_fold])) if has_lands else None
+    )
+    offsets = np.concatenate([[0], np.cumsum([len(d) for d in data_per_fold])])
+
+    streams = [
+        _FoldStream(np.arange(offsets[k], offsets[k + 1]), seed + k)
+        for k in range(k_folds)
     ]
     steps_per_epoch = min(len(d) // cfg.batch_size for d in data_per_fold)
     assert steps_per_epoch > 0, "batch size exceeds the smallest fold"
 
-    key = jax.random.PRNGKey(seed + 1000)
-    lr_val = cfg.init_lr if lr is None else lr
+    lr_vec = jnp.full((k_folds,), cfg.init_lr if lr is None else lr, jnp.float32)
     losses_hist = []
     for epoch in range(num_epochs):
-        gens = [it.epoch() for it in iters]
-        for _ in range(steps_per_epoch):
-            projs, segs, heats = [], [], []
-            for g in gens:
-                p, s, l = next(g)
-                key, bk = jax.random.split(key)
-                b = prepare_batch(aug, bk, p, s, l)
-                projs.append(b["proj"])
-                segs.append(b["seg"])
-                heats.append(b.get("heats"))
-            proj = jnp.stack(projs)
-            seg = jnp.stack(segs)
-            heat = jnp.stack(heats) if heats[0] is not None else None
-            stacked, losses = step(stacked, proj, seg, heat, lr_val)
+        for s in range(steps_per_epoch):
+            idx = np.stack([st.take(cfg.batch_size) for st in streams])
+            base = (epoch * steps_per_epoch + s) * k_folds
+            seeds = base + np.arange(k_folds, dtype=np.int32)
+            stacked, losses = fused(
+                stacked, projs_all, segs_all, lands_all,
+                jnp.asarray(idx), jnp.asarray(seeds), lr_vec,
+            )
         losses_hist.append(np.asarray(losses))
         if verbose:
             print(

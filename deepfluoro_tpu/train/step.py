@@ -219,19 +219,18 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
     return fused
 
 
-def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = None):
-    """Returns jitted eval_step(state, proj, seg, heats) -> per-sample losses.
+def make_eval_losses_fn(cfg: TrainConfig, model, num_lands_for_loss: int | None = None):
+    """Unjitted per-sample eval losses: fn(state, proj, seg, heats) -> (B,).
 
     ``num_lands_for_loss=0`` evaluates dice-only even for a joint model
-    (--dice-valid, train.py:448-449).
-    """
+    (--dice-valid, train.py:448-449). Shared by the plain eval step and the
+    vmapped multi-fold evaluator."""
     model_has_lands = cfg.num_lands > 0
     use_lands = (
         model_has_lands if num_lands_for_loss is None else num_lands_for_loss > 0
     )
 
-    @jax.jit
-    def eval_step(state: TrainState, proj, seg, heats):
+    def eval_losses(state: TrainState, proj, seg, heats):
         variables = {"params": state.params}
         if cfg.batch_norm:
             variables["batch_stats"] = state.batch_stats
@@ -248,4 +247,9 @@ def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = Non
             return per_sample_joint(pred_seg, pred_heats, seg, heats, cfg.heat_coeff)
         return per_sample_dice(pred_seg, seg, skip_bg=False)
 
-    return eval_step
+    return eval_losses
+
+
+def make_eval_step(cfg: TrainConfig, model, num_lands_for_loss: int | None = None):
+    """Returns jitted eval_step(state, proj, seg, heats) -> per-sample losses."""
+    return jax.jit(make_eval_losses_fn(cfg, model, num_lands_for_loss))

@@ -20,6 +20,67 @@ from deepfluoro_tpu.train.step import make_optimizer
 
 
 @pytest.mark.slow
+def test_multifold_matches_sequential_fit_quality(tmp_path):
+    """VERDICT r1 done-criterion: fit_multifold's per-fold best-valid
+    checkpoints reach the same held-out hard Dice as sequential fit() runs
+    of the same recipe (PRNG streams differ, so parity is statistical)."""
+    from deepfluoro_tpu.infer.ensemble import load_net_from_checkpoint
+    from deepfluoro_tpu.train import fit
+    from deepfluoro_tpu.train.multifold import fit_multifold
+
+    h5p = write_synthetic_dataset(
+        str(tmp_path / "ds.h5"), num_specimens=2, num_projs=16, img_dim=48, seed=7
+    )
+    recipe = dict(
+        num_classes=7, batch_size=8, proj_unet_dim=52, optim_type="sgd",
+        init_lr=0.1, momentum=0.9, nesterov=True, wgt_decay=1e-4,
+        lr_sched_meth="plateau", depth=3, init_feats_exp=4, batch_norm=True,
+        padding=True, no_max_pool=True, num_lands=14, heat_coeff=0.5,
+        data_aug=True, train_valid_split=0.8, max_num_epochs=70,
+        checkpoint_freq=35,
+    )
+
+    # K=2 leave-one-out folds in one vmapped program
+    mf = fit_multifold(
+        h5p, [1, 2], TrainConfig(**recipe),
+        checkpoint_prefix=str(tmp_path / "ck"),
+        best_prefix=str(tmp_path / "best"),
+        verbose=False,
+    )
+    assert mf["epoch"] == 70
+
+    # sequential reference run of fold 0's recipe (train on spec 2)
+    seq = fit(
+        h5p, [2], TrainConfig(**recipe),
+        checkpoint_filename=str(tmp_path / "seq_ck.pt"),
+        best_valid_filename=str(tmp_path / "seq_best.pt"),
+        train_loss_txt=str(tmp_path / "seq_tl.txt"),
+        valid_loss_txt=str(tmp_path / "seq_vl.txt"),
+        verbose=False,
+    )
+
+    def heldout_dice(ck_path):
+        model, variables, cfg = load_net_from_checkpoint(ck_path, verbose=False)
+        test_data = load_dataset(h5p, [1], no_seg=True)
+        p = str(tmp_path / "eval_{}.h5".format(abs(hash(ck_path)) % 99999))
+        with h5.File(p, "w") as f:
+            seg_dataset_ensemble(
+                test_data, [(model, variables)], f, num_lands=14,
+                batch_size=8, pad_img_dim=cfg.proj_unet_dim,
+            )
+        with h5.File(p, "r") as f:
+            est = f["nn-segs"][:]
+        gt = load_dataset(h5p, [1])
+        return float(hard_dice(gt.segs, est, num_classes=7).mean())
+
+    d_mf = heldout_dice(str(tmp_path / "best_spec01.pt"))
+    d_seq = heldout_dice(str(tmp_path / "seq_best.pt"))
+    assert d_mf > 0.5, f"multifold fold-0 held-out dice too low: {d_mf:.3f}"
+    assert d_seq > 0.5, f"sequential held-out dice too low: {d_seq:.3f}"
+    assert abs(d_mf - d_seq) < 0.15, f"multifold {d_mf:.3f} vs sequential {d_seq:.3f}"
+
+
+@pytest.mark.slow
 def test_pipeline_learns_synthetic_structures(tmp_path):
     h5p = write_synthetic_dataset(
         str(tmp_path / "ds.h5"), num_specimens=2, num_projs=16, img_dim=48, seed=7

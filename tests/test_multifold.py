@@ -1,4 +1,9 @@
-"""Tests for simultaneous multi-fold (leave-one-specimen-out) training."""
+"""Tests for simultaneous multi-fold (leave-one-specimen-out) training:
+the fused one-dispatch step, the full-recipe fit_multifold (validation,
+plateau LR, best-valid checkpoints, resume), ensemble-axis sharding, and
+the CLI end-to-end."""
+
+import os
 
 import numpy as np
 import jax
@@ -7,7 +12,8 @@ import pytest
 from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
 from deepfluoro_tpu.data.hdf5 import load_dataset
 from deepfluoro_tpu.train import TrainConfig
-from deepfluoro_tpu.train.multifold import fold_state, train_multifold
+from deepfluoro_tpu.train.checkpoint import load_checkpoint
+from deepfluoro_tpu.train.multifold import fit_multifold, fold_state, train_multifold
 
 
 @pytest.fixture(scope="module")
@@ -18,13 +24,20 @@ def h5p(tmp_path_factory):
     )
 
 
-def test_folds_train_independently(h5p):
-    cfg = TrainConfig(
+def mf_cfg(**kw):
+    base = dict(
         num_classes=7, batch_size=3, proj_unet_dim=36, depth=2, init_feats_exp=2,
         batch_norm=True, padding=True, no_max_pool=True, num_lands=14,
         optim_type="sgd", init_lr=0.05, momentum=0.9, nesterov=True,
-        data_aug=False, seed=0,
+        data_aug=False, seed=0, train_valid_split=0.8, lr_sched_meth="plateau",
+        max_num_epochs=2, checkpoint_freq=1,
     )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_folds_train_independently(h5p):
+    cfg = mf_cfg()
     # 3 folds: hold out specimen k+1, train on the others
     folds = [load_dataset(h5p, [p for p in (1, 2, 3) if p != k]) for k in (1, 2, 3)]
     model, stacked, hist = train_multifold(folds, cfg, num_epochs=4, verbose=False)
@@ -42,28 +55,114 @@ def test_folds_train_independently(h5p):
 
 
 def test_fold_state_usable_for_inference(h5p):
-    from deepfluoro_tpu.infer.ensemble import make_ensemble_forward
+    from deepfluoro_tpu.infer.ensemble import make_ensemble_forward, stack_variables
     import jax.numpy as jnp
 
-    cfg = TrainConfig(
-        num_classes=7, batch_size=3, proj_unet_dim=36, depth=2, init_feats_exp=2,
-        batch_norm=True, padding=True, no_max_pool=True, num_lands=14,
-        optim_type="sgd", init_lr=0.05,
-    )
-    folds = [load_dataset(h5p, [2, 3])]
+    cfg = mf_cfg()
+    folds = [load_dataset(h5p, [2, 3]), load_dataset(h5p, [1, 3])]
     model, stacked, _ = train_multifold(folds, cfg, num_epochs=1, verbose=False)
     st = fold_state(stacked, 0)
     variables = {"params": st.params, "batch_stats": st.batch_stats}
     fwd = make_ensemble_forward(model, 14, (32, 32))
-    from deepfluoro_tpu.infer.ensemble import stack_variables
-
     seg, heats, labels = fwd(stack_variables([variables]), jnp.zeros((1, 36, 36, 1)))
     assert labels.shape == (1, 32, 32)
 
 
+class TestFitMultifold:
+    def test_full_recipe_and_resume(self, tmp_path, h5p):
+        cfg = mf_cfg(max_num_epochs=2)
+        ckp = str(tmp_path / "ck")
+        bp = str(tmp_path / "best")
+        out = fit_multifold(
+            h5p, [1, 2, 3], cfg,
+            checkpoint_prefix=ckp, best_prefix=bp,
+            valid_loss_txt_prefix=str(tmp_path / "vl"),
+            verbose=False,
+        )
+        assert out["epoch"] == 2
+        assert np.isfinite(out["best_valid_losses"]).all()
+        for p in (1, 2, 3):
+            assert os.path.exists("{}_spec{:02d}.pt".format(ckp, p))
+            assert os.path.exists("{}_spec{:02d}.pt".format(bp, p))
+            # per-fold valid loss files: one line per epoch
+            assert len(open("{}_spec{:02d}.txt".format(str(tmp_path / "vl"), p)).readlines()) == 2
+
+        ck1 = load_checkpoint("{}_spec01.pt".format(ckp))
+        assert ck1["epoch"] == 2
+        assert len(ck1["train-idx"]) and len(ck1["valid-idx"])
+        # fold 0's pool excludes specimen 1 (indices 0..5 of the union)
+        assert all(i >= 6 for i in ck1["train-idx"] + ck1["valid-idx"])
+
+        # resume: 2 more epochs; checkpoint meta overrides a bogus CLI value
+        cfg2 = mf_cfg(max_num_epochs=4, init_feats_exp=5)
+        out2 = fit_multifold(
+            h5p, [1, 2, 3], cfg2,
+            checkpoint_prefix=ckp, best_prefix=bp,
+            valid_loss_txt_prefix=str(tmp_path / "vl"),
+            verbose=False,
+        )
+        assert out2["epoch"] == 4
+        assert out2["cfg"].init_feats_exp == 2
+        ck1b = load_checkpoint("{}_spec01.pt".format(ckp))
+        assert ck1b["epoch"] == 4
+        # split indices reused on resume
+        assert list(ck1b["train-idx"]) == list(ck1["train-idx"])
+        # valid loss files appended, not truncated
+        assert len(open("{}_spec01.txt".format(str(tmp_path / "vl"))).readlines()) == 4
+
+    def test_partial_checkpoint_set_refused(self, tmp_path, h5p):
+        cfg = mf_cfg(max_num_epochs=1)
+        ckp = str(tmp_path / "ck")
+        fit_multifold(h5p, [1, 2, 3], cfg, checkpoint_prefix=ckp,
+                      best_prefix=str(tmp_path / "b"), verbose=False)
+        os.remove("{}_spec02.pt".format(ckp))
+        with pytest.raises(RuntimeError, match="partial"):
+            fit_multifold(h5p, [1, 2, 3], cfg, checkpoint_prefix=ckp,
+                          best_prefix=str(tmp_path / "b"), verbose=False)
+
+    def test_best_checkpoints_load_in_ensemble(self, tmp_path, h5p):
+        from deepfluoro_tpu.infer.ensemble import load_net_from_checkpoint
+
+        cfg = mf_cfg(max_num_epochs=1)
+        bp = str(tmp_path / "best")
+        fit_multifold(h5p, [1, 2, 3], cfg, checkpoint_prefix=str(tmp_path / "ck"),
+                      best_prefix=bp, verbose=False)
+        model, variables, cfg2 = load_net_from_checkpoint(
+            "{}_spec01.pt".format(bp), verbose=False
+        )
+        assert cfg2.depth == cfg.depth and cfg2.num_lands == 14
+
+    def test_ensemble_axis_sharding_parity(self, tmp_path, h5p):
+        """fit_multifold over an 'ensemble' mesh axis must produce the same
+        losses as the unsharded run (folds are independent; sharding them
+        across devices is pure parallelism)."""
+        from deepfluoro_tpu.parallel import make_mesh
+
+        # K=4 folds over a 4-way ensemble axis (8 virtual devices available)
+        h5p4 = write_synthetic_dataset(
+            str(tmp_path / "ds4.h5"), num_specimens=4, num_projs=6, img_dim=32
+        )
+        cfg = mf_cfg(max_num_epochs=1)
+        mesh = make_mesh({"ensemble": 4}, devices=jax.devices()[:4])
+
+        out_plain = fit_multifold(
+            h5p4, [1, 2, 3, 4], cfg,
+            checkpoint_prefix=str(tmp_path / "pck"), best_prefix=str(tmp_path / "pb"),
+            verbose=False,
+        )
+        out_shard = fit_multifold(
+            h5p4, [1, 2, 3, 4], cfg,
+            checkpoint_prefix=str(tmp_path / "sck"), best_prefix=str(tmp_path / "sb"),
+            mesh=mesh, verbose=False,
+        )
+        np.testing.assert_allclose(
+            out_shard["best_valid_losses"], out_plain["best_valid_losses"],
+            rtol=2e-4,
+        )
+
+
 def test_train_folds_cli_end_to_end(tmp_path, h5p):
-    """train_folds CLI -> per-fold checkpoints -> test_ensemble consumes them."""
-    import os
+    """train_folds CLI -> per-fold best checkpoints -> test_ensemble consumes."""
     from deepfluoro_tpu.cli import test_ensemble, train_folds
 
     prefix = str(tmp_path / "fold")
@@ -72,7 +171,9 @@ def test_train_folds_cli_end_to_end(tmp_path, h5p):
         "--unet-img-dim", "36", "--epochs", "2", "--unet-num-lvls", "2",
         "--unet-init-feats-exp", "2", "--unet-batch-norm", "--unet-padding",
         "--unet-no-max-pool", "--use-lands", "--init-lr", "0.05",
+        "--train-valid-split", "0.8",
         "--net-prefix", prefix,
+        "--checkpoint-prefix", str(tmp_path / "ck"),
     ])
     for p in (1, 2, 3):
         assert os.path.exists("{}_spec{:02d}.pt".format(prefix, p))
