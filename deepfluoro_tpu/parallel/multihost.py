@@ -37,12 +37,22 @@ def local_shard_indices(n_examples: int, seed: int, epoch: int) -> np.ndarray:
     """Disjoint shuffled index shard for this process.
 
     All processes derive the identical global permutation from (seed, epoch)
-    and stride over it by process index, so the union covers every example
-    exactly once per epoch and shards stay equal-sized modulo the remainder.
+    and stride over it by process index. The permutation is truncated to a
+    multiple of the process count first (drop-tail), so every process holds
+    EXACTLY the same shard size — ``jax.make_array_from_process_local_data``
+    requires consistent global shapes across processes, and an uneven tail
+    would desync the pod. Because the permutation is epoch-dependent, the
+    dropped examples differ each epoch (standard distributed-sampler
+    semantics), so coverage is complete over time.
     """
     rng = np.random.default_rng((seed << 20) ^ epoch)
     perm = rng.permutation(n_examples)
-    return perm[jax.process_index()::jax.process_count()]
+    p = jax.process_count()
+    n_even = (n_examples // p) * p
+    assert n_even > 0, (
+        "dataset of {} examples cannot feed {} processes".format(n_examples, p)
+    )
+    return perm[:n_even][jax.process_index()::p]
 
 
 def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray, spec: P | None = None):

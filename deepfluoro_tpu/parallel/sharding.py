@@ -93,6 +93,59 @@ def make_sharded_train_step(cfg: TrainConfig, model, tx, mesh: Mesh, spatial: bo
     return jit_step, place_state
 
 
+def _tp_leaf_sharding(mesh: Mesh, axis: str, x) -> NamedSharding:
+    """Channel (trailing-axis) sharding rule for one state leaf: conv kernels
+    (kh, kw, cin, cout), biases (cout,), BN scale/bias/stats (c,) and the
+    matching optimizer momentum buffers all shard their last axis over the
+    TP mesh axis when divisible; scalars and indivisible leaves replicate."""
+    size = mesh.shape[axis]
+    if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] >= size and x.shape[-1] % size == 0:
+        return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
+    return NamedSharding(mesh, P())
+
+
+def make_tp_train_step(
+    cfg: TrainConfig, model, tx, mesh: Mesh, state_template: TrainState, axis: str = "model"
+):
+    """Tensor-parallel train step: filters sharded along the output-channel
+    axis (SURVEY.md §2.3 TP row — optional for this model size, built as the
+    minimal GSPMD variant).
+
+    Every parameter / optimizer-buffer leaf is sharded on its trailing axis
+    over ``axis`` when divisible (2**wf channels at level 0, doubling per
+    level, so any power-of-two TP degree <= 2**wf shards every conv); the
+    batch is replicated. XLA's partitioner propagates the channel sharding
+    through the forward/backward convs and inserts the collectives. Returns
+    (train_step, place_state); place_state distributes a TrainState onto the
+    mesh with the same rule the step's in/out shardings pin.
+    """
+    from deepfluoro_tpu.train.step import grad_and_update, make_loss_fn
+
+    assert axis in mesh.axis_names
+    loss_fn = make_loss_fn(cfg, model)
+    repl = NamedSharding(mesh, P())
+
+    state_shardings = jax.tree.map(
+        partial(_tp_leaf_sharding, mesh, axis), state_template
+    )
+
+    def step(state: TrainState, proj, seg, heats, lr):
+        return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
+
+    jit_step = jax.jit(
+        step,
+        in_shardings=(state_shardings, repl, repl, repl if cfg.num_lands > 0 else None, None),
+        out_shardings=(state_shardings, repl),
+    )
+
+    def place_state(state: TrainState) -> TrainState:
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s), state, state_shardings
+        )
+
+    return jit_step, place_state
+
+
 def make_sharded_ensemble_forward(
     model, num_lands: int, orig_hw, mesh: Mesh
 ):

@@ -46,6 +46,8 @@ class AsyncCheckpointer:
             self._thread = None
 
     def save(self, path: str, **kwargs) -> None:
+        if jax.process_index() != 0:
+            return  # single-writer (see save_checkpoint); skip snapshot work
         self.wait()
         # device-side copy: jnp arrays are immutable, but the *buffers* get
         # donated by the next train step, so snapshot before returning
@@ -76,6 +78,12 @@ def save_checkpoint(
     train_idx=None,
     valid_idx=None,
 ) -> None:
+    # Multi-host safety: single-writer. Under jax.distributed every process
+    # runs the training loop; parameters are replicated (data/spatial
+    # sharding shards batches/activations, not weights), so process 0 holds
+    # a complete copy and the others writing the same file would race.
+    if jax.process_index() != 0:
+        return
     payload = {
         "meta": dict(meta),
         "epoch": epoch,

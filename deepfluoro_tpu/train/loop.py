@@ -209,8 +209,11 @@ def fit(
     )
 
     checkpointer = AsyncCheckpointer()
-    train_loss_out = RunningFloatWriter(train_loss_txt, new_file=not load_from_checkpoint)
-    valid_loss_out = RunningFloatWriter(valid_loss_txt, new_file=not load_from_checkpoint)
+    # multi-host: process 0 owns every host-side file artifact (checkpoints
+    # are gated inside save_checkpoint; loss logs and best-valid copies here)
+    is_writer = jax.process_index() == 0
+    train_loss_out = RunningFloatWriter(train_loss_txt, new_file=not load_from_checkpoint) if is_writer else None
+    valid_loss_out = RunningFloatWriter(valid_loss_txt, new_file=not load_from_checkpoint) if is_writer else None
 
     enforce_max_hours = cfg.max_hours > 0
     enforce_max_num_restarts = cfg.max_num_restarts > 0
@@ -258,7 +261,8 @@ def fit(
             for dev_loss in pending_losses:
                 l = float(dev_loss)
                 last_loss = l
-                train_loss_out.write(l)
+                if train_loss_out is not None:
+                    train_loss_out.write(l)
                 avg_loss += l
                 num_batches += 1
                 running_loss += l
@@ -301,7 +305,8 @@ def fit(
             eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey,
             iterator=valid_iter,
         )
-        valid_loss_out.write(avg_valid_loss)
+        if valid_loss_out is not None:
+            valid_loss_out.write(avg_valid_loss)
 
         log("  Avg. Training Loss: {:.6f}".format(avg_loss))
         log("  Validation Loss: {:.6f} +/- {:.6f}".format(avg_valid_loss, std_valid_loss))
@@ -349,8 +354,9 @@ def fit(
         if new_best_valid and cfg.save_best_valid:
             log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
             if net_saved_this_epoch_path is not None:
-                checkpointer.wait()
-                shutil.copy(net_saved_this_epoch_path, best_valid_filename)
+                if is_writer:
+                    checkpointer.wait()
+                    shutil.copy(net_saved_this_epoch_path, best_valid_filename)
             else:
                 save_net(best_valid_filename)
                 net_saved_this_epoch_path = best_valid_filename
@@ -366,8 +372,9 @@ def fit(
             )
             log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
             if net_saved_this_epoch_path is not None:
-                checkpointer.wait()
-                shutil.copy(net_saved_this_epoch_path, restart_net_path)
+                if is_writer:
+                    checkpointer.wait()
+                    shutil.copy(net_saved_this_epoch_path, restart_net_path)
             else:
                 save_net(restart_net_path)
                 net_saved_this_epoch_path = restart_net_path
@@ -398,14 +405,16 @@ def fit(
             log("    saving checkpoint before exit!")
             if net_saved_this_epoch_path is None:
                 save_net(checkpoint_filename)
-            elif net_saved_this_epoch_path != checkpoint_filename:
+            elif net_saved_this_epoch_path != checkpoint_filename and is_writer:
                 checkpointer.wait()
                 shutil.copy(net_saved_this_epoch_path, checkpoint_filename)
 
     log("Training Hours: {:.4f}".format(tot_time_hours))
     checkpointer.wait()
-    train_loss_out.close()
-    valid_loss_out.close()
+    if train_loss_out is not None:
+        train_loss_out.close()
+    if valid_loss_out is not None:
+        valid_loss_out.close()
     if prev_handler is not None:
         try:
             signal.signal(signal.SIGTERM, prev_handler)

@@ -2,6 +2,8 @@
 ensemble-sharded inference, manual halo exchange, and the driver's
 dryrun_multichip entry."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -194,6 +196,46 @@ class TestDeepSpatialSharding:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+class TestTensorParallel:
+    def test_tp_step_matches_single_device(self, rng):
+        """Channel-sharded (TP) train step == unsharded step: same loss and
+        same updated parameters on a 4-way 'model' mesh."""
+        from deepfluoro_tpu.parallel.sharding import make_tp_train_step
+
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=3, batch_norm=True,
+            padding=True, no_max_pool=True, num_lands=14, proj_unet_dim=32,
+            optim_type="sgd", init_lr=0.1, momentum=0.9, nesterov=True,
+            wgt_decay=1e-4,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        tx = make_optimizer(cfg)
+
+        proj = jnp.asarray(rng.random((4, 32, 32, 1)), jnp.float32)
+        seg = jnp.asarray(np.eye(7, dtype=np.float32)[rng.integers(0, 7, (4, 32, 32))])
+        heats = jnp.asarray(rng.random((4, 32, 32, 14)), jnp.float32)
+
+        step1 = make_train_step(cfg, model, tx)
+        s1, loss1 = step1(state, proj, seg, heats, 0.1)
+
+        mesh = make_mesh({"model": 4}, devices=jax.devices()[:4])
+        model2, state2 = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        tp_step, place = make_tp_train_step(cfg, model2, tx, mesh, state2)
+        s2, loss2 = tp_step(place(state2), proj, seg, heats, 0.1)
+
+        assert float(loss1) == pytest.approx(float(loss2), rel=1e-4)
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+        # the first conv kernel really is channel-sharded over 4 devices
+        kern = jax.tree.leaves_with_path(s2.params)
+        sharded_leaves = [
+            x for _, x in kern
+            if hasattr(x, "sharding") and x.ndim == 4
+            and not x.sharding.is_fully_replicated
+        ]
+        assert sharded_leaves, "no conv kernel ended up sharded"
+
+
 class TestMultihost:
     def test_local_shard_indices_partition(self):
         """Single-process: the shard must be a permutation of all indices;
@@ -215,3 +257,50 @@ class TestMultihost:
         arr = global_batch_from_local(mesh, local)
         assert arr.shape == (8, 4, 4)
         np.testing.assert_allclose(np.asarray(arr), local)
+
+    def test_uneven_shards_drop_tail_equal_sizes(self, monkeypatch):
+        """n % num_processes != 0: every process must get the SAME shard
+        size (make_array_from_process_local_data needs consistent global
+        shapes), dropping the epoch-dependent tail."""
+        from deepfluoro_tpu.parallel import multihost
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        shards = []
+        for p in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            shards.append(multihost.local_shard_indices(103, seed=3, epoch=0))
+        sizes = {len(s) for s in shards}
+        assert sizes == {25}  # 103 -> 100 kept, 25 each
+        union = np.concatenate(shards)
+        assert len(np.unique(union)) == 100  # disjoint
+        # the dropped tail rotates with the epoch-dependent permutation
+        e1_all = []
+        for p in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            e1_all.append(multihost.local_shard_indices(103, 3, 1))
+        assert set(np.concatenate(e1_all).tolist()) != set(union.tolist())
+
+    def test_single_writer_checkpointing(self, tmp_path, monkeypatch):
+        """Only process 0 writes checkpoint files (multi-host safety); the
+        others' saves are silent no-ops."""
+        from deepfluoro_tpu.train.checkpoint import (
+            AsyncCheckpointer,
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        params = {"w": np.ones((3,), np.float32)}
+        p1 = str(tmp_path / "proc1.pt")
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        save_checkpoint(p1, meta={"depth": 2}, params=params)
+        ck = AsyncCheckpointer()
+        ck.save(str(tmp_path / "proc1b.pt"), meta={"depth": 2}, params=params)
+        ck.wait()
+        assert not os.path.exists(p1)
+        assert not os.path.exists(str(tmp_path / "proc1b.pt"))
+
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        p0 = str(tmp_path / "proc0.pt")
+        save_checkpoint(p0, meta={"depth": 2}, params=params)
+        assert os.path.exists(p0)
+        assert load_checkpoint(p0)["meta"]["depth"] == 2
