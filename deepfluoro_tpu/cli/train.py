@@ -64,6 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dice-valid", help="Use only dice validation loss even when training with dice + heatmap loss", action="store_true")
     parser.add_argument("--unet-no-res", help="Do not use residual connections in U-Net blocks", action="store_true")
     parser.add_argument("--train-valid-split", help="Ratio of training data kept for training; one minus this is validation. Enabled when in [0,1]; overrides valid-pats.", type=float, default=-1.0)
+    parser.add_argument("--stream-data", help="Keep the dataset in host memory and double-buffer batches to the device (for archives too large for HBM, e.g. full-res); default keeps the dataset device-resident", action="store_true")
     parser.add_argument("--bf16", help="Use bfloat16 compute on TPU (float32 params)", action="store_true")
     parser.add_argument("--seed", help="PRNG seed", type=int, default=0)
     parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
@@ -150,6 +151,7 @@ def main(argv=None):
             best_valid_filename=args.best_net,
             train_loss_txt=args.train_loss_txt,
             valid_loss_txt=args.valid_loss_txt,
+            stream_data=args.stream_data,
         )
 
 

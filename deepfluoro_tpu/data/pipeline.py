@@ -20,6 +20,87 @@ import jax.numpy as jnp
 from deepfluoro_tpu.data.hdf5 import FluoroData
 
 
+class PrefetchIterator:
+    """Double-buffered host->device streaming behind the BatchIterator API.
+
+    For datasets that exceed HBM (full-res / 2x training: the full-res
+    archive is 2.5 GB, README.md:62-66), the dataset stays in host memory
+    and a producer thread slices numpy batches and ``jax.device_put``s them
+    ahead of consumption through a bounded queue — the next batch's H2D
+    transfer overlaps the current step's compute, so the device never waits
+    on PCIe/tunnel latency (at most ``prefetch`` batches live in HBM).
+    """
+
+    def __init__(
+        self,
+        data: FluoroData,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        assert prefetch >= 1
+        self.data = data
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return -(-len(self.data) // self.batch_size)
+
+    def epoch(self):
+        import queue
+        import threading
+
+        n = len(self.data)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for start in range(0, n, self.batch_size):
+                    if stop.is_set():
+                        return
+                    idx = order[start : start + self.batch_size]
+                    # device_put is asynchronous: it returns immediately and
+                    # the transfer proceeds while the consumer computes
+                    projs = jax.device_put(self.data.projs[idx])
+                    segs = (
+                        None if self.data.segs is None
+                        else jax.device_put(self.data.segs[idx])
+                    )
+                    lands = (
+                        None if self.data.lands is None
+                        else jax.device_put(self.data.lands[idx])
+                    )
+                    q.put((projs, segs, lands))
+                q.put(None)
+            except BaseException as e:  # surface producer errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe the stop flag
+            while not q.empty():
+                q.get_nowait()
+            t.join()
+
+
 class BatchIterator:
     """Shuffled epoch iterator yielding raw (projs, segs, lands) batches.
 

@@ -87,11 +87,18 @@ def fit(
     train_loss_txt: str = "train_iter_loss.txt",
     valid_loss_txt: str = "valid_loss.txt",
     verbose: bool = True,
+    stream_data: bool = False,
 ):
     """Train a network; returns dict(state=..., cfg=..., best_valid_loss=...).
 
     ``cfg.num_lands`` should already reflect the dataset (the CLI reads it
     from the archive like train.py:174-178).
+
+    ``stream_data=True`` keeps the dataset in HOST memory and double-buffers
+    batches to the device (data.pipeline.PrefetchIterator + a streaming
+    variant of the fused step) — for archives too large for HBM (full-res /
+    2x training). The default device-resident mode is faster when the data
+    fits: one dispatch per step with zero per-step H2D transfers.
     """
 
     def log(msg):
@@ -191,22 +198,36 @@ def fit(
         epoch = int(prev["epoch"])
         del prev
 
-    fused_step = make_fused_train_step(cfg, model, tx, aug_train)
     eval_step = make_eval_step(
         cfg, model, num_lands_for_loss=0 if cfg.use_dice_valid else None
     )
 
-    # dataset resident on device once; each step is ONE dispatch gathering
-    # its batch by index inside the fused program
-    projs_all = jnp.asarray(train_data.projs)
-    segs_all = None if train_data.segs is None else jnp.asarray(train_data.segs)
-    lands_all = None if train_data.lands is None else jnp.asarray(train_data.lands)
-    shuffle_rng = np.random.default_rng(cfg.seed + 1)
+    if stream_data:
+        from deepfluoro_tpu.data.pipeline import PrefetchIterator
+        from deepfluoro_tpu.train.step import make_streaming_train_step
 
-    # validation set uploaded once as well (evaluate() is called every epoch)
-    valid_iter = BatchIterator(
-        valid_data, batch_size=cfg.batch_size, shuffle=False, device_resident=True
-    )
+        stream_step = make_streaming_train_step(cfg, model, tx, aug_train)
+        train_stream = PrefetchIterator(
+            train_data, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed + 1
+        )
+        valid_iter = PrefetchIterator(
+            valid_data, batch_size=cfg.batch_size, shuffle=False
+        )
+        projs_all = segs_all = lands_all = None
+        shuffle_rng = None
+    else:
+        fused_step = make_fused_train_step(cfg, model, tx, aug_train)
+        # dataset resident on device once; each step is ONE dispatch gathering
+        # its batch by index inside the fused program
+        projs_all = jnp.asarray(train_data.projs)
+        segs_all = None if train_data.segs is None else jnp.asarray(train_data.segs)
+        lands_all = None if train_data.lands is None else jnp.asarray(train_data.lands)
+        shuffle_rng = np.random.default_rng(cfg.seed + 1)
+
+        # validation set uploaded once as well (evaluate() runs every epoch)
+        valid_iter = BatchIterator(
+            valid_data, batch_size=cfg.batch_size, shuffle=False, device_resident=True
+        )
 
     checkpointer = AsyncCheckpointer()
     # multi-host: process 0 owns every host-side file artifact (checkpoints
@@ -273,23 +294,36 @@ def fit(
                     running_loss = 0.0
             pending_losses.clear()
 
-        order = np.arange(train_ds_len)
-        shuffle_rng.shuffle(order)
-        for start in range(0, train_ds_len, cfg.batch_size):
-            idx = order[start : start + cfg.batch_size]
+        if stream_data:
+            batches = enumerate(train_stream.epoch())
+        else:
+            order = np.arange(train_ds_len)
+            shuffle_rng.shuffle(order)
+            batches = enumerate(range(0, train_ds_len, cfg.batch_size))
 
+        for bi, item in batches:
             if lr_sched is not None:
                 lr = lr_sched.get_lr()
             else:
                 lr = cfg.init_lr
 
-            state, loss = fused_step(
-                state, projs_all, segs_all, lands_all,
-                idx, epoch * train_ds_len + start, lr,
-            )
+            if stream_data:
+                projs_b, segs_b, lands_b = item
+                bsize = int(projs_b.shape[0])
+                state, loss = stream_step(
+                    state, projs_b, segs_b, lands_b,
+                    epoch * train_ds_len + bi * cfg.batch_size, lr,
+                )
+            else:
+                idx = order[item : item + cfg.batch_size]
+                bsize = int(idx.shape[0])
+                state, loss = fused_step(
+                    state, projs_all, segs_all, lands_all,
+                    idx, epoch * train_ds_len + item, lr,
+                )
             pending_losses.append(loss)
 
-            num_examples_run += int(idx.shape[0])
+            num_examples_run += bsize
             if lr_sched is not None and lrs_is_cos:
                 lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
 

@@ -219,6 +219,31 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
     return fused
 
 
+def make_streaming_train_step(cfg: TrainConfig, model, tx, aug_cfg):
+    """Train step for HOST-resident datasets (too large for HBM): consumes a
+    raw streamed batch instead of gathering from device-resident arrays, but
+    still fuses augmentation + forward/backward + update into one dispatch.
+    Pair with data.pipeline.PrefetchIterator so the next batch's H2D
+    transfer overlaps this step's compute.
+
+    Signature: step(state, projs (B,H,W), segs, lands, step_seed, lr)
+    -> (state, loss)."""
+    from deepfluoro_tpu.data.augment import prepare_batch
+
+    loss_fn = make_loss_fn(cfg, model)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, projs, segs, lands, step_seed, lr):
+        key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step_seed)
+        prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
+        return grad_and_update(
+            loss_fn, tx, state,
+            prepared["proj"], prepared.get("seg"), prepared.get("heats"), lr,
+        )
+
+    return step
+
+
 def make_eval_losses_fn(cfg: TrainConfig, model, num_lands_for_loss: int | None = None):
     """Unjitted per-sample eval losses: fn(state, proj, seg, heats) -> (B,).
 

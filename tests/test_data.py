@@ -182,3 +182,33 @@ class TestBatchIterator:
         it = BatchIterator(data, batch_size=6, shuffle=False)
         b = np.asarray(next(iter(it.epoch()))[0])
         np.testing.assert_array_equal(b, data.projs)
+
+
+class TestPrefetchIterator:
+    def test_matches_batch_iterator(self, fixture_h5):
+        """Double-buffered streaming yields the SAME batches (same shuffle
+        stream) as BatchIterator, as device arrays."""
+        from deepfluoro_tpu.data.pipeline import PrefetchIterator
+
+        data = load_dataset(fixture_h5, [1, 2])
+        base = BatchIterator(data, batch_size=5, shuffle=True, seed=3,
+                             device_resident=False)
+        pre = PrefetchIterator(data, batch_size=5, shuffle=True, seed=3)
+        assert len(pre) == len(base)
+        got = list(pre.epoch())
+        want = list(base.epoch())
+        assert len(got) == len(want)
+        for (gp, gs, gl), (wp, ws, wl) in zip(got, want):
+            assert isinstance(gp, jax.Array)  # already on device
+            np.testing.assert_array_equal(np.asarray(gp), np.asarray(wp))
+            np.testing.assert_array_equal(np.asarray(gs), np.asarray(ws))
+            np.testing.assert_array_equal(np.asarray(gl), np.asarray(wl))
+
+    def test_early_break_stops_producer(self, fixture_h5):
+        from deepfluoro_tpu.data.pipeline import PrefetchIterator
+
+        data = load_dataset(fixture_h5, [1, 2])
+        pre = PrefetchIterator(data, batch_size=2, shuffle=False)
+        gen = pre.epoch()
+        next(gen)
+        gen.close()  # no hang, producer thread joined

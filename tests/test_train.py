@@ -204,6 +204,28 @@ class TestFit:
         assert len(open(vl).readlines()) == 4
         assert len(open(tl).readlines()) > n_train_lines
 
+    def test_fit_stream_data_parity(self, tmp_path, fixture_h5):
+        """stream_data=True (host-resident dataset, double-buffered H2D)
+        must reproduce the device-resident fused path exactly: same shuffle
+        stream, same per-step aug seeds, so identical losses and params."""
+        losses = {}
+        params = {}
+        for mode in (False, True):
+            cfg = small_cfg(max_num_epochs=1)
+            out = fit(
+                fixture_h5, [1, 2], cfg,
+                checkpoint_filename=str(tmp_path / f"c{mode}.pt"),
+                best_valid_filename=str(tmp_path / f"b{mode}.pt"),
+                train_loss_txt=str(tmp_path / f"t{mode}.txt"),
+                valid_loss_txt=str(tmp_path / f"v{mode}.txt"),
+                verbose=False, stream_data=mode,
+            )
+            losses[mode] = [float(x) for x in open(str(tmp_path / f"t{mode}.txt"))]
+            params[mode] = jax.tree.leaves(out["state"].params)
+        np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+        for a, b in zip(params[True], params[False]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_fit_explicit_valid_pats(self, tmp_path, fixture_h5):
         cfg = small_cfg(max_num_epochs=1, train_valid_split=-1.0, lr_sched_meth="none")
         out = fit(
