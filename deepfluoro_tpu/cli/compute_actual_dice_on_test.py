@@ -20,13 +20,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="compute actual dice coefficients between estimated segmentations and ground truth. Scores are written out in CSV format.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("ds_path", help="Path to dataset containing projections", type=str)
-    parser.add_argument("seg_file", help="Path to H5 file with estimated segmentations", type=str)
-    parser.add_argument("seg_group", help="Path within H5 file of estimated segmentations", type=str)
-    parser.add_argument("csv_out", help="Path to output CSV file", type=str)
-    parser.add_argument("pat_ind", help="patient index", type=int)
-    parser.add_argument("--no-hdr", help="No CSV header", action="store_true")
-    parser.add_argument("--num-classes", help="number of classes in segmentation", type=int, default=7)
+    parser.add_argument("ds_path", help="HDF5 archive with the ground-truth segmentations", type=str)
+    parser.add_argument("seg_file", help="HDF5 file holding the estimated label maps", type=str)
+    parser.add_argument("seg_group", help="group path of the estimated label maps", type=str)
+    parser.add_argument("csv_out", help="destination CSV (pat,proj,label,dice)", type=str)
+    parser.add_argument("pat_ind", help="specimen ID to evaluate", type=int)
+    parser.add_argument("--no-hdr", help="omit the CSV header row", action="store_true")
+    parser.add_argument("--num-classes", help="segmentation class count incl. background", type=int, default=7)
     return parser
 
 

@@ -21,12 +21,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="estimate landmark locations and write to CSV",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("heat_file_path", help="Path to dataset file containing labelings.", type=str)
-    parser.add_argument("heats_group_path", help="H5 group path to heat maps", type=str)
-    parser.add_argument("--out", help="output CSV path", type=str, default="yy_lands_est.csv")
-    parser.add_argument("--pat", help="patient index", type=int)
-    parser.add_argument("--use-seg", help="Path to segmentation dataset used to assist in detection", type=str, default="")
-    parser.add_argument("--no-hdr", help="No CSV header", action="store_true")
+    parser.add_argument("heat_file_path", help="HDF5 file holding the estimated heatmaps (test_ensemble output)", type=str)
+    parser.add_argument("heats_group_path", help="group path of the heatmaps inside the file", type=str)
+    parser.add_argument("--out", help="destination CSV of detected landmark locations", type=str, default="yy_lands_est.csv")
+    parser.add_argument("--pat", help="specimen ID written into the CSV rows", type=int)
+    parser.add_argument("--use-seg", help="group path of estimated segmentations; gates each landmark to its structure", type=str, default="")
+    parser.add_argument("--no-hdr", help="omit the CSV header row", action="store_true")
     return parser
 
 

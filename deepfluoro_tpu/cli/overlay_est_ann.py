@@ -22,17 +22,17 @@ def build_parser() -> argparse.ArgumentParser:
         description="overlay segs",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("ds_path", help="Path to dataset containing projections", type=str)
-    parser.add_argument("seg_file", help="Path to H5 file with estimated segmentations and heatmaps", type=str)
-    parser.add_argument("seg_group", help="Path within H5 file of estimated segmentations", type=str)
-    parser.add_argument("pat_ind", help="patient index", type=int)
-    parser.add_argument("proj_ind", help="proj", type=int)
-    parser.add_argument("out_overlay", help="Path to output overlay image", type=str)
-    parser.add_argument("--lands", help="overlay GT and est. landmark locations", action="store_true")
-    parser.add_argument("--no-gt-lands", help="do not overlay GT landmarks", action="store_true")
-    parser.add_argument("--no-seg", help="do not overlay est. seg.", action="store_true")
-    parser.add_argument("--lands-csv", help="path to CSV file of estimated landmark locations", type=str)
-    parser.add_argument("--num-classes", help="number of classes in segmentation", type=int, default=7)
+    parser.add_argument("ds_path", help="HDF5 archive with the projections (and GT landmarks)", type=str)
+    parser.add_argument("seg_file", help="HDF5 file from test_ensemble", type=str)
+    parser.add_argument("seg_group", help="group path of the estimated label maps", type=str)
+    parser.add_argument("pat_ind", help="specimen ID", type=int)
+    parser.add_argument("proj_ind", help="projection index within the specimen", type=int)
+    parser.add_argument("out_overlay", help="destination PNG", type=str)
+    parser.add_argument("--lands", help="draw ground-truth and estimated landmarks", action="store_true")
+    parser.add_argument("--no-gt-lands", help="skip the ground-truth landmark markers", action="store_true")
+    parser.add_argument("--no-seg", help="skip the segmentation blend", action="store_true")
+    parser.add_argument("--lands-csv", help="landmark CSV from est_lands_csv to draw", type=str)
+    parser.add_argument("--num-classes", help="segmentation class count incl. background", type=int, default=7)
     return parser
 
 

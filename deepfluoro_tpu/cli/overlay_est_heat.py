@@ -21,14 +21,14 @@ def build_parser() -> argparse.ArgumentParser:
         description="overlay estimated heat maps for a specific projection and landmark",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("ds_path", help="Path to dataset containing projections", type=str)
-    parser.add_argument("seg_file", help="Path to H5 file with estimated segmentations and heatmaps", type=str)
-    parser.add_argument("seg_group", help="Path within H5 file of estimated heatmaps", type=str)
-    parser.add_argument("pat_ind", help="patient index", type=int)
-    parser.add_argument("proj_ind", help="proj", type=int)
-    parser.add_argument("land_ind", help="landmark index", type=int)
-    parser.add_argument("out_overlay", help="Path to output overlay image", type=str)
-    parser.add_argument("--num-classes", help="number of classes in segmentation", type=int, default=7)
+    parser.add_argument("ds_path", help="HDF5 archive with the projections", type=str)
+    parser.add_argument("seg_file", help="HDF5 file from test_ensemble", type=str)
+    parser.add_argument("seg_group", help="group path of the estimated heatmaps", type=str)
+    parser.add_argument("pat_ind", help="specimen ID", type=int)
+    parser.add_argument("proj_ind", help="projection index within the specimen", type=int)
+    parser.add_argument("land_ind", help="heatmap channel (landmark) to blend", type=int)
+    parser.add_argument("out_overlay", help="destination PNG", type=str)
+    parser.add_argument("--num-classes", help="segmentation class count incl. background", type=int, default=7)
     return parser
 
 

@@ -28,12 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run ensemble segmentation and heatmap estimation.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("input_data_file_path", help="Path to the datafile containing projections", type=str)
-    parser.add_argument("output_data_file_path", help="Path to the output datafile containing segmentations", type=str)
-    parser.add_argument("--nets", help="Paths to the networks used to perform segmentation", type=str, nargs="+")
-    parser.add_argument("--pats", help="comma delimited list of patient IDs used for testing", type=str)
-    parser.add_argument("--no-gpu", help="Only use CPU", action="store_true")
-    parser.add_argument("--times", help="Path to file storing runtimes for each image", type=str, default="")
+    parser.add_argument("input_data_file_path", help="input HDF5 archive with the test projections", type=str)
+    parser.add_argument("output_data_file_path", help="output HDF5 file for nn-segs / nn-heats", type=str)
+    parser.add_argument("--nets", help="checkpoint files of the ensemble members", type=str, nargs="+")
+    parser.add_argument("--pats", help="comma-separated specimen IDs to run inference on", type=str)
+    parser.add_argument("--no-gpu", help="force the CPU backend", action="store_true")
+    parser.add_argument("--times", help="write per-image inference seconds to this file", type=str, default="")
     parser.add_argument("--batch-size", help="Images per inference batch (1 matches the reference's timing granularity)", type=int, default=1)
     return parser
 

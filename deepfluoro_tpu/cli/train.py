@@ -24,49 +24,49 @@ def build_parser() -> argparse.ArgumentParser:
         description="Training.",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    parser.add_argument("input_data_file_path", help="Path to the datafile containing projections and segmentations", type=str)
-    parser.add_argument("--train-pats", help="comma delimited list of patient IDs used for training", type=str)
-    parser.add_argument("--valid-pats", help="comma delimited list of patient IDs used for validation", type=str)
-    parser.add_argument("--num-classes", help="The number of label classes to be identified", type=int)
-    parser.add_argument("--batch-size", help="Number of images each minibatch", type=int, default=1)
-    parser.add_argument("--unet-img-dim", help="Dimension to adjust input images to before inputting into U-Net", type=int, default=364)
-    parser.add_argument("--checkpoint-net", help="Path to network saved as checkpoint", type=str, default="zz_checkpoint.pt")
-    parser.add_argument("--best-net", help="Path to network saved with best score on the validation data", type=str, default="zz_best_valid.pt")
-    parser.add_argument("--checkpoint-freq", help="Frequency (in terms of epochs) at which to save the network checkpoint to disk.", type=int, default=1)
-    parser.add_argument("--no-save-best-valid", help="Do not save best validation network to disk.", action="store_true")
-    parser.add_argument("--optim", help="Optimization strategy to use.", type=str, default="sgd")
-    parser.add_argument("--lr-sched", help="Learning rate scheduling method. 'cos' --> Cosine annealing with warm restarts, 'none' --> fixed LR (at initial), 'plateau' --> reduce learning rate when validation score plateaus", type=str, default="cos")
-    parser.add_argument("--init-lr", help="Initial learning rate", type=float, default=1.0e-2)
-    parser.add_argument("--lr-patience", help="Patience, in # epochs, when using LR plateau decay", type=int, default=20)
-    parser.add_argument("--lr-cooldown", help="Cooldown, in # epochs, when using LR plateau decay", type=int, default=20)
-    parser.add_argument("--nesterov", help="Use Nesterov momentum in SGD", action="store_true")
-    parser.add_argument("--momentum", help="SGD momentum term", type=float, default=0.9)
-    parser.add_argument("--wgt-decay", help="SGD weight decay term", type=float, default=0)
-    parser.add_argument("--cos-anneal-epochs", help="Number of epochs in the cosine annealing LR scheduling.", type=int, default=10)
-    parser.add_argument("--cos-growth", help="Growth factor to use with warm restarts.", type=int, default=2)
-    parser.add_argument("--save-restart-net", help="Prefix used to save networks before warm restart, file path will be <PREFIX>_XX.pt", type=str)
-    parser.add_argument("--save-after-n-restarts", help="Save networks prior to warm restart only after this number of restarts.", type=int, default=0)
-    parser.add_argument("--max-num-restarts", help="Maximum number of warm restarts; disabled when <= 0, otherwise overrides --max-num-epochs", type=int, default=-1)
-    parser.add_argument("--max-num-epochs", help="Maximum number of epochs", type=int, default=200)
-    parser.add_argument("--train-loss-txt", help="output file for training loss", type=str, default="train_iter_loss.txt")
-    parser.add_argument("--valid-loss-txt", help="output file for validation loss", type=str, default="valid_loss.txt")
-    parser.add_argument("--no-gpu", help="Only use CPU - do not use accelerator even if available", action="store_true")
-    parser.add_argument("--max-hours", help="Maximum number of hours to run for.", type=float, default=-1.0)
-    parser.add_argument("--unet-num-lvls", help="Number of levels in the U-Net", type=int, default=5)
-    parser.add_argument("--unet-init-feats-exp", help="Number of initial features used in the U-Net, two raised to this power.", type=int, default=4)
-    parser.add_argument("--unet-batch-norm", help="Use Batch Normalization in U-Net", action="store_true")
-    parser.add_argument("--unet-padding", help="Add padding to preserve image sizes for U-Net", action="store_true")
-    parser.add_argument("--unet-no-max-pool", help="Learn downsampling weights instead of max-pooling", action="store_true")
-    parser.add_argument("--unet-block-depth", help="Depth of the blocks of convolutions at each level", type=int, default=2)
-    parser.add_argument("--data-aug", help="Randomly augment the data", action="store_true")
-    parser.add_argument("--use-lands", help="Learn landmark heatmaps", action="store_true")
-    parser.add_argument("--heat-coeff", help="Weighting applied to heatmap loss - dice gets one minus this.", type=float, default=0.5)
-    parser.add_argument("--dice-valid", help="Use only dice validation loss even when training with dice + heatmap loss", action="store_true")
-    parser.add_argument("--unet-no-res", help="Do not use residual connections in U-Net blocks", action="store_true")
-    parser.add_argument("--train-valid-split", help="Ratio of training data kept for training; one minus this is validation. Enabled when in [0,1]; overrides valid-pats.", type=float, default=-1.0)
+    parser.add_argument("input_data_file_path", help="HDF5 archive holding the preprocessed projections/segmentations", type=str)
+    parser.add_argument("--train-pats", help="comma-separated specimen IDs to train on", type=str)
+    parser.add_argument("--valid-pats", help="comma-separated specimen IDs to validate on", type=str)
+    parser.add_argument("--num-classes", help="number of segmentation classes (incl. background)", type=int)
+    parser.add_argument("--batch-size", help="minibatch size in images", type=int, default=1)
+    parser.add_argument("--unet-img-dim", help="reflect-pad images to this square size before the U-Net", type=int, default=364)
+    parser.add_argument("--checkpoint-net", help="periodic/resume checkpoint file", type=str, default="zz_checkpoint.pt")
+    parser.add_argument("--best-net", help="file for the network with the lowest validation loss", type=str, default="zz_best_valid.pt")
+    parser.add_argument("--checkpoint-freq", help="save the checkpoint every this many epochs", type=int, default=1)
+    parser.add_argument("--no-save-best-valid", help="disable writing the best-validation network", action="store_true")
+    parser.add_argument("--optim", help="optimizer: sgd | adam | rmsprop", type=str, default="sgd")
+    parser.add_argument("--lr-sched", help="LR schedule: 'cos' = warm-restart cosine annealing, 'plateau' = decay when validation stalls, 'none' = constant", type=str, default="cos")
+    parser.add_argument("--init-lr", help="starting learning rate", type=float, default=1.0e-2)
+    parser.add_argument("--lr-patience", help="plateau schedule: epochs without improvement before decaying", type=int, default=20)
+    parser.add_argument("--lr-cooldown", help="plateau schedule: epochs to wait after a decay", type=int, default=20)
+    parser.add_argument("--nesterov", help="enable Nesterov momentum (SGD)", action="store_true")
+    parser.add_argument("--momentum", help="momentum coefficient", type=float, default=0.9)
+    parser.add_argument("--wgt-decay", help="L2 weight-decay coefficient", type=float, default=0)
+    parser.add_argument("--cos-anneal-epochs", help="cosine schedule: epochs per annealing period", type=int, default=10)
+    parser.add_argument("--cos-growth", help="cosine schedule: period multiplier applied at each restart", type=int, default=2)
+    parser.add_argument("--save-restart-net", help="save a snapshot right before each warm restart as <PREFIX>_XX.pt", type=str)
+    parser.add_argument("--save-after-n-restarts", help="only start writing pre-restart snapshots after this many restarts", type=int, default=0)
+    parser.add_argument("--max-num-restarts", help="stop after this many warm restarts (<= 0 disables; takes precedence over --max-num-epochs)", type=int, default=-1)
+    parser.add_argument("--max-num-epochs", help="epoch budget", type=int, default=200)
+    parser.add_argument("--train-loss-txt", help="per-iteration training-loss log file", type=str, default="train_iter_loss.txt")
+    parser.add_argument("--valid-loss-txt", help="per-epoch validation-loss log file", type=str, default="valid_loss.txt")
+    parser.add_argument("--no-gpu", help="force the CPU backend even when an accelerator exists", action="store_true")
+    parser.add_argument("--max-hours", help="wall-clock budget in hours; exits early if the next epoch would overrun", type=float, default=-1.0)
+    parser.add_argument("--unet-num-lvls", help="U-Net encoder depth (levels)", type=int, default=5)
+    parser.add_argument("--unet-init-feats-exp", help="log2 of the first level's feature count", type=int, default=4)
+    parser.add_argument("--unet-batch-norm", help="insert BatchNorm after each conv+ReLU", action="store_true")
+    parser.add_argument("--unet-padding", help="SAME-pad convolutions so feature maps keep their size", action="store_true")
+    parser.add_argument("--unet-no-max-pool", help="downsample with learned strided convs instead of max-pool", action="store_true")
+    parser.add_argument("--unet-block-depth", help="convolutions per block at each level", type=int, default=2)
+    parser.add_argument("--data-aug", help="enable the stochastic augmentation pipeline", action="store_true")
+    parser.add_argument("--use-lands", help="add the landmark-heatmap head (count read from the archive)", action="store_true")
+    parser.add_argument("--heat-coeff", help="heatmap-loss weight; the dice term gets one minus this", type=float, default=0.5)
+    parser.add_argument("--dice-valid", help="validate with the dice term only, even for joint training", action="store_true")
+    parser.add_argument("--unet-no-res", help="drop the 1x1 residual shortcuts in conv blocks", action="store_true")
+    parser.add_argument("--train-valid-split", help="fraction of the pool used for training, remainder validates; active in [0,1] and overrides --valid-pats", type=float, default=-1.0)
     parser.add_argument("--stream-data", help="Keep the dataset in host memory and double-buffer batches to the device (for archives too large for HBM, e.g. full-res); default keeps the dataset device-resident", action="store_true")
     parser.add_argument("--bf16", help="Use bfloat16 compute on TPU (float32 params)", action="store_true")
-    parser.add_argument("--seed", help="PRNG seed", type=int, default=0)
+    parser.add_argument("--seed", help="random seed", type=int, default=0)
     parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
     parser.add_argument("--debug-nans", help="Fault on the first NaN-producing op (jax_debug_nans)", action="store_true")
     return parser
