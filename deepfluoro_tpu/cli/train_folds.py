@@ -70,6 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint-prefix", help="Prefix for per-fold resume checkpoints", type=str, default="zz_fold_checkpoint")
     parser.add_argument("--train-loss-prefix", help="Prefix for per-fold train loss txt files ('' disables)", type=str, default="")
     parser.add_argument("--valid-loss-prefix", help="Prefix for per-fold valid loss txt files ('' disables)", type=str, default="")
+    parser.add_argument("--ensemble-devices", help="shard the fold axis over this many devices (an 'ensemble' mesh axis); 0 = single device", type=int, default=0)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-gpu", action="store_true")
@@ -126,6 +127,20 @@ def main(argv=None):
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
 
+    mesh = None
+    if args.ensemble_devices > 0:
+        import jax
+
+        from deepfluoro_tpu.parallel import make_mesh
+
+        assert len(pats) % args.ensemble_devices == 0, (
+            "fold count {} must divide over {} devices".format(len(pats), args.ensemble_devices)
+        )
+        mesh = make_mesh(
+            {"ensemble": args.ensemble_devices},
+            devices=jax.devices()[: args.ensemble_devices],
+        )
+
     out = fit_multifold(
         args.input_data_file_path,
         pats,
@@ -134,6 +149,7 @@ def main(argv=None):
         best_prefix=args.net_prefix,
         train_loss_txt_prefix=args.train_loss_prefix or None,
         valid_loss_txt_prefix=args.valid_loss_prefix or None,
+        mesh=mesh,
     )
     for k, p in enumerate(pats):
         print(
