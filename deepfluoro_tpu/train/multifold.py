@@ -125,10 +125,11 @@ def make_fused_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None):
 
         # lax.map, NOT vmap: per-fold weights turn vmapped convs into grouped
         # convolutions, which the MXU tiles poorly — measured on v5e at the
-        # paper config (K=6, batch 5): vmap 149.8 ms/step, lax.map 134.9 ms,
-        # K separate dispatches 120.1 ms. lax.map keeps the one-dispatch /
-        # shardable stacked design at a ~12% single-chip premium; the speed
-        # path is sharding folds across chips (1 local fold = plain convs).
+        # paper config (K=6, batch 5): vmap ~150 ms/step vs lax.map ~112-135
+        # ms (tunnel-noise band), the latter matching K separate single-fold
+        # dispatches. lax.map keeps the one-dispatch / shardable stacked
+        # design at sequential-dispatch speed; sharding folds across chips
+        # (1 local fold = plain convs) multiplies throughput from there.
         return jax.lax.map(one_fold, (stacked_state, idx, step_seeds, lr_vec))
 
     if mesh is not None:
