@@ -104,6 +104,15 @@ def _tp_leaf_sharding(mesh: Mesh, axis: str, x) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tp_state_shardings(mesh: Mesh, state_template, axis: str = "model"):
+    """The tensor-parallel sharding tree for a TrainState (or any pytree):
+    each leaf mapped through the channel-sharding rule above. Shared by
+    make_tp_train_step and by sharded-checkpoint restore
+    (train/sharded_checkpoint.py), so a checkpoint saved from one TP degree
+    can be re-placed onto another."""
+    return jax.tree.map(partial(_tp_leaf_sharding, mesh, axis), state_template)
+
+
 def make_tp_train_step(
     cfg: TrainConfig, model, tx, mesh: Mesh, state_template: TrainState, axis: str = "model"
 ):
@@ -125,9 +134,7 @@ def make_tp_train_step(
     loss_fn = make_loss_fn(cfg, model)
     repl = NamedSharding(mesh, P())
 
-    state_shardings = jax.tree.map(
-        partial(_tp_leaf_sharding, mesh, axis), state_template
-    )
+    state_shardings = tp_state_shardings(mesh, state_template, axis)
 
     def step(state: TrainState, proj, seg, heats, lr):
         return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
