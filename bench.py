@@ -24,7 +24,17 @@ import numpy as np
 
 IMG = 180  # 8x archive frames are ~180^2 (1436/8); padded to 192
 PAD = 192
-BATCH = 32  # batch-size study (BASELINE.md): throughput saturates around 32
+# Batch-size study (BASELINE.md, round 2, scalar-readback protocol):
+# 32 -> 2060 f/s, 64 -> 3186, 128 -> 4093, 256 -> 5056, 512 -> 5248 (peak),
+# 1024 -> 5123. The chip saturates near 512. (The round-1 "saturates at 32"
+# finding was an artifact of full-array D2H transfers inside the timed loop.)
+BATCH = 512
+# The CPU baseline runs at a smaller batch: CPU throughput does NOT improve
+# with batch (measured on this host: 2.11 f/s @ batch 32 vs 1.74 f/s @ 128 —
+# slightly worse, memory pressure), so timing torch at 32 is conservative
+# (favors the baseline), while a batch-512 torch forward takes ~5 min per
+# iteration and would add ~50 min to every bench run.
+TORCH_BATCH = 32
 N_CLASSES = 7
 N_LANDS = 14
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
@@ -155,14 +165,15 @@ def _torch_unet(torch, nn):
 
 
 def bench_torch_cpu() -> float:
-    """Torch-CPU baseline at the SAME batch size as the TPU measurement so
-    the ratio is like-for-like (CPU also amortizes over the batch)."""
+    """Torch-CPU baseline in frames/sec. Measured at TORCH_BATCH (CPU
+    throughput is batch-flat past ~8, see the constant's note) so the
+    per-frame ratio against the TPU number is still like-for-like."""
     import torch
     import torch.nn as nn
 
     net = _torch_unet(torch, nn).eval()
     rng = np.random.default_rng(0)
-    x = torch.from_numpy(rng.random((BATCH, 1, PAD, PAD)).astype(np.float32))
+    x = torch.from_numpy(rng.random((TORCH_BATCH, 1, PAD, PAD)).astype(np.float32))
 
     with torch.no_grad():
         net(x)  # warmup
@@ -175,11 +186,11 @@ def bench_torch_cpu() -> float:
             seg, heats = net(x)
             torch.argmax(seg, dim=1)
             times.append(time.perf_counter() - t0)
-    return BATCH / float(np.median(times))
+    return TORCH_BATCH / float(np.median(times))
 
 
 def get_torch_baseline() -> float:
-    config = "depth6 wf5 192x192 f32 batch{} median10".format(BATCH)
+    config = "depth6 wf5 192x192 f32 batch{} median10".format(TORCH_BATCH)
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
