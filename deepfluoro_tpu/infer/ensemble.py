@@ -111,6 +111,32 @@ def stack_variables(variables_list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *variables_list)
 
 
+# Above this many stacked nets, map over the net axis with lax.map instead
+# of unrolling (bounds compile time; unrolling is fastest for typical K=6)
+_UNROLL_NET_LIMIT = 8
+
+
+def map_over_nets(one_net, stacked_vars):
+    """Apply ``one_net`` to each net of a K-stacked variables tree and stack
+    the results along a leading K axis.
+
+    Deliberately NOT jax.vmap: vmapping the forward over the parameter axis
+    lowers every convolution to a K-group grouped conv, which the MXU tiles
+    an order of magnitude worse than K plain convs (measured on v5e, K=6
+    batch 64: vmap 47 f/s, lax.map 392 f/s, unrolled 484 f/s — the same
+    pathology hit the vmapped multifold train step and the GSPMD-sharded
+    ensemble, see parallel/sharding.py). Small K unrolls into one program of
+    K plain forwards; larger K uses lax.map to bound compile time.
+    """
+    k = jax.tree.leaves(stacked_vars)[0].shape[0]
+    if k <= _UNROLL_NET_LIMIT:
+        outs = [
+            one_net(jax.tree.map(lambda x: x[i], stacked_vars)) for i in range(k)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    return jax.lax.map(one_net, stacked_vars)
+
+
 def _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands):
     """(K-stacked vars, (B,H,W,1) proj) -> averaged seg probs + heats.
 
@@ -133,7 +159,11 @@ def _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands):
             heats = (heats - hmin) / (hmax - hmin)
         return seg, heats
 
-    segs, heats = jax.vmap(one_net)(stacked_vars)  # (K, B, H, W, C/L)
+    if num_lands > 0:
+        segs, heats = map_over_nets(one_net, stacked_vars)  # (K, B, H, W, C/L)
+    else:
+        segs = map_over_nets(lambda v: one_net(v)[0], stacked_vars)
+        heats = None
     avg_seg = jnp.mean(segs, axis=0)
     avg_heats = jnp.mean(heats, axis=0) if num_lands > 0 else None
     pred_labels = jnp.argmax(avg_seg, axis=-1).astype(jnp.uint8)
@@ -292,7 +322,11 @@ def test_dataset_ensemble(
                 h = center_crop(h, orig_hw)
             return s, h
 
-        segs_k, heats_k = jax.vmap(one_net)(stacked_vars)
+        if num_lands > 0:
+            segs_k, heats_k = map_over_nets(one_net, stacked_vars)
+        else:
+            segs_k = map_over_nets(lambda v: one_net(v)[0], stacked_vars)
+            heats_k = None
         avg_seg = jnp.mean(segs_k, axis=0)
         if use_lands:
             avg_heats = jnp.mean(heats_k, axis=0)

@@ -163,8 +163,11 @@ def make_sharded_ensemble_forward(
     the partitioner mishandles the grouped convolutions a vmapped-and-
     sharded ensemble lowers to, while shard_map keeps each device running
     its local checkpoints' plain convs and reduces the softmax/heat sums
-    over ICI.
+    over ICI. The local nets are unrolled, not vmapped, for the same
+    grouped-conv reason (see infer.ensemble.map_over_nets).
     """
+    from deepfluoro_tpu.infer.ensemble import map_over_nets
+
     ens = "ensemble"
     assert ens in mesh.axis_names
     data = "data" if "data" in mesh.axis_names else None
@@ -185,7 +188,11 @@ def make_sharded_ensemble_forward(
                 heats = (heats - hmin) / (hmax - hmin)
             return seg, heats
 
-        segs, heats = jax.vmap(one_net)(stacked_vars)
+        if num_lands > 0:
+            segs, heats = map_over_nets(one_net, stacked_vars)
+        else:
+            segs = map_over_nets(lambda v: one_net(v)[0], stacked_vars)
+            heats = None
         sum_seg = jax.lax.psum(jnp.sum(segs, axis=0), ens)
         avg_seg = sum_seg / k_total
         if num_lands > 0:
