@@ -122,11 +122,12 @@ def map_over_nets(one_net, stacked_vars):
 
     Deliberately NOT jax.vmap: vmapping the forward over the parameter axis
     lowers every convolution to a K-group grouped conv, which the MXU tiles
-    an order of magnitude worse than K plain convs (measured on v5e, K=6
-    batch 64: vmap 47 f/s, lax.map 392 f/s, unrolled 484 f/s — the same
-    pathology hit the vmapped multifold train step and the GSPMD-sharded
-    ensemble, see parallel/sharding.py). Small K unrolls into one program of
-    K plain forwards; larger K uses lax.map to bound compile time.
+    worse than K plain convs (measured on v5e with a drained-warmup
+    protocol, K=6 batch 64 bf16: vmap 129.3 ms vs unrolled 113.3 ms per
+    batch — a 14% win; the same grouped-conv pathology hit the vmapped
+    multifold train step and the GSPMD-sharded ensemble, see
+    parallel/sharding.py). Small K unrolls into one program of K plain
+    forwards; larger K uses lax.map to bound compile time.
     """
     k = jax.tree.leaves(stacked_vars)[0].shape[0]
     if k <= _UNROLL_NET_LIMIT:
