@@ -172,3 +172,25 @@ class TestFusedFullRes:
         assert heats.shape == (2, 24, 24, 14)
         assert np.isfinite(np.asarray(heats)).all()
         assert set(np.unique(np.asarray(labels))) <= set(range(7))
+
+
+class TestMapOverNets:
+    def test_unroll_and_laxmap_branches_match_vmap(self):
+        """map_over_nets == vmap semantics on both sides of the unroll/lax.map
+        threshold (the combinator exists purely for MXU performance)."""
+        from deepfluoro_tpu.infer.ensemble import map_over_nets
+
+        rng = np.random.default_rng(1)
+
+        def one_net(variables):
+            return variables["w"] * 2.0 + variables["b"], jnp.sum(variables["w"])
+
+        for k in (3, 10):  # 3 -> unrolled, 10 -> lax.map
+            stacked = {
+                "w": jnp.asarray(rng.random((k, 4, 5)), jnp.float32),
+                "b": jnp.asarray(rng.random((k, 1, 5)), jnp.float32),
+            }
+            got = map_over_nets(one_net, stacked)
+            want = jax.vmap(one_net)(stacked)
+            np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=1e-6)
