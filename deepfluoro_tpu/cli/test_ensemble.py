@@ -35,6 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-gpu", help="force the CPU backend", action="store_true")
     parser.add_argument("--times", help="write per-image inference seconds to this file", type=str, default="")
     parser.add_argument("--batch-size", help="Images per inference batch (1 matches the reference's timing granularity)", type=int, default=1)
+    parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
     return parser
 
 
@@ -67,22 +68,25 @@ def main(argv=None):
     test_data = load_dataset(args.input_data_file_path, test_pats, no_seg=True)
     print("Length of testing dataset: {}".format(len(test_data)))
 
+    from deepfluoro_tpu.utils.profiling import profile_trace
+
     print("opening destination file for writing")
     times: list[float] = []
     with h5.File(args.output_data_file_path, "w") as f:
         if land_names:
             write_land_names(f, land_names)
         print("running network on projections")
-        seg_dataset_ensemble(
-            test_data,
-            models_and_vars,
-            f,
-            num_lands=num_lands,
-            times=times,
-            batch_size=args.batch_size,
-            pad_img_dim=cfg.proj_unet_dim,
-            num_classes=cfg.num_classes,
-        )
+        with profile_trace(args.profile_dir):
+            seg_dataset_ensemble(
+                test_data,
+                models_and_vars,
+                f,
+                num_lands=num_lands,
+                times=times,
+                batch_size=args.batch_size,
+                pad_img_dim=cfg.proj_unet_dim,
+                num_classes=cfg.num_classes,
+            )
         print("closing file...")
         f.flush()
 
