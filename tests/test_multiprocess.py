@@ -1,0 +1,108 @@
+"""REAL multi-process jax.distributed coverage (SURVEY.md §2.3 multi-host
+row): two OS processes, 4 virtual CPU devices each, one global 8-device
+'data' mesh. Verifies cross-process collectives (identical global loss on
+both processes), drop-tail disjoint index sharding, global-batch assembly
+from process-local slices, single-writer checkpointing — and that the
+2-process global step computes EXACTLY the same loss as a single-process
+run of the identical global batch."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_step(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    # the workers provision their own 4-device CPU backends
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mh_worker.py"),
+             str(pid), "2", str(port), str(tmp_path)],
+            env=env, cwd=os.path.dirname(TESTS_DIR),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    def parse(out, tag):
+        return [l for l in out.splitlines() if l.startswith(tag)]
+
+    # disjoint drop-tail shards covering 18 of 19 examples
+    shard0 = eval(parse(outs[0], "SHARD 0")[0].split(" ", 2)[2])
+    shard1 = eval(parse(outs[1], "SHARD 1")[0].split(" ", 2)[2])
+    assert len(shard0) == len(shard1) == 9
+    assert not set(shard0) & set(shard1)
+
+    # both processes observed the identical global loss
+    loss0 = float(parse(outs[0], "LOSS")[0].split()[1])
+    loss1 = float(parse(outs[1], "LOSS")[0].split()[1])
+    assert loss0 == loss1
+
+    # single-writer: only process 0's checkpoint path exists
+    assert "WROTE 0 1" in outs[0]
+    assert "WROTE 1 0" in outs[1]
+    assert os.path.exists(tmp_path / "mh_ck_p0.pt")
+    assert not os.path.exists(tmp_path / "mh_ck_p1.pt")
+
+    # the distributed loss equals a single-process run of the same global
+    # batch (this process has 8 virtual devices via conftest, but the plain
+    # unsharded step on one device is the cleanest oracle)
+    from deepfluoro_tpu.parallel.multihost import local_shard_indices
+    from deepfluoro_tpu.train import TrainConfig, make_train_state
+    from deepfluoro_tpu.train.step import make_optimizer, make_train_step
+
+    cfg = TrainConfig(
+        num_classes=7, batch_size=8, proj_unet_dim=32, depth=2, init_feats_exp=2,
+        batch_norm=True, padding=True, no_max_pool=True, num_lands=4,
+        optim_type="sgd", init_lr=0.1, momentum=0.9, nesterov=True, wgt_decay=1e-4,
+    )
+    rng = np.random.default_rng(7)
+    N = 19
+    projs = rng.random((N, 32, 32, 1)).astype(np.float32)
+    segs = np.eye(7, dtype=np.float32)[rng.integers(0, 7, (N, 32, 32))]
+    heats = rng.random((N, 32, 32, 4)).astype(np.float32)
+
+    # reproduce each worker's shard selection: strided over the common
+    # (seed=3, epoch=0) permutation; global batch = concat of local slices
+    # in process order (make_array_from_process_local_data fills the 'data'
+    # axis in global device order: process 0's devices then process 1's)
+    perm = np.random.default_rng((3 << 20) ^ 0).permutation(N)[:18]
+    sel0, sel1 = perm[0::2][:4], perm[1::2][:4]
+    assert set(sel0.tolist()) <= set(shard0) and set(sel1.tolist()) <= set(shard1)
+    gsel = np.concatenate([sel0, sel1])
+
+    model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+    tx = make_optimizer(cfg)
+    step1 = make_train_step(cfg, model, tx)
+    _, loss_ref = step1(
+        state,
+        jnp.asarray(projs[gsel]), jnp.asarray(segs[gsel]), jnp.asarray(heats[gsel]),
+        0.1,
+    )
+    assert float(loss_ref) == pytest.approx(loss0, abs=2e-6)
