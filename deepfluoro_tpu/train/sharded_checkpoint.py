@@ -40,6 +40,17 @@ _ARRAYS_SUBDIR = "arrays"
 _META_FILE = "meta.msgpack"
 
 
+def _sync(tag: str) -> None:
+    """Cross-process barrier (no-op single-process). The orbax array save is
+    itself collective, but the directory prep and metadata sidecar are
+    process-0-only host I/O — without barriers another process can race past
+    them (e.g. load before meta.msgpack exists)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sharded_ckpt:" + tag)
+
+
 def _is_array_leaf(x) -> bool:
     return hasattr(x, "shape") and hasattr(x, "dtype")
 
@@ -98,6 +109,7 @@ def save_sharded_checkpoint(
             import shutil
 
             shutil.rmtree(arrays_dir)
+    _sync("dir-prepped")
 
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(arrays_dir, _state_dicts(params, batch_stats, opt_state))
@@ -118,6 +130,7 @@ def save_sharded_checkpoint(
         with open(tmp, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
         os.replace(tmp, os.path.join(path, _META_FILE))
+    _sync("meta-written")
 
 
 def _abstract_tree(template_state_dict, shardings):

@@ -34,6 +34,7 @@ assert jax.process_count() == nproc
 assert len(jax.devices()) == 4 * nproc, jax.devices()
 assert len(jax.local_devices()) == 4
 
+import jax.numpy as jnp
 import numpy as np
 
 from deepfluoro_tpu.parallel import make_mesh, make_sharded_train_step
@@ -78,3 +79,36 @@ print("LOSS {:.8f}".format(float(loss)), flush=True)
 ck = os.path.join(workdir, "mh_ck_p{}.pt".format(pid))
 save_checkpoint(ck, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=1)
 print("WROTE", pid, int(os.path.exists(ck)), flush=True)
+
+# --- sharded-checkpoint phase: params channel-sharded ACROSS processes ---
+# (each process holds only its local shards; exactly the case the orbax
+# format exists for — train/sharded_checkpoint.py)
+from jax.sharding import NamedSharding, PartitionSpec as P
+from deepfluoro_tpu.parallel import tp_state_shardings
+from deepfluoro_tpu.train.sharded_checkpoint import (
+    load_sharded_checkpoint,
+    restore_typed,
+    save_sharded_checkpoint,
+)
+
+tp_mesh = make_mesh({"model": 4 * nproc})
+sh = tp_state_shardings(tp_mesh, state, axis="model")
+placed = jax.tree.map(jax.device_put, state, sh)
+first_leaf = jax.tree.leaves(placed.params)[0]
+assert not first_leaf.is_fully_addressable, "expected cross-process shards"
+
+sck = os.path.join(workdir, "mh_sharded_ck")
+save_sharded_checkpoint(
+    sck, meta=cfg.to_checkpoint_meta(),
+    params=placed.params, batch_stats=placed.batch_stats, epoch=2,
+)
+
+# restore replicated over the global mesh and checksum a couple of trees
+out = load_sharded_checkpoint(
+    sck, state.params, state.batch_stats,
+    shardings=NamedSharding(tp_mesh, P()),
+)
+params_r = restore_typed(state.params, out["model-state-dict"]["params"])
+orig_sum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(state.params)))
+rest_sum = float(sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(params_r)))
+print("SHARDED_SUM {:.6f} {:.6f} {}".format(orig_sum, rest_sum, out["epoch"]), flush=True)

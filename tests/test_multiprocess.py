@@ -70,6 +70,15 @@ def test_two_process_distributed_step(tmp_path):
     assert os.path.exists(tmp_path / "mh_ck_p0.pt")
     assert not os.path.exists(tmp_path / "mh_ck_p1.pt")
 
+    # sharded checkpoint round trip with params sharded ACROSS processes:
+    # both processes report restored == original checksums and the epoch
+    for out in outs:
+        line = parse(out, "SHARDED_SUM")[0].split()
+        orig, rest, epoch = float(line[1]), float(line[2]), int(line[3])
+        assert rest == pytest.approx(orig, rel=1e-6)
+        assert epoch == 2
+    assert os.path.isdir(tmp_path / "mh_sharded_ck")
+
     # the distributed loss equals a single-process run of the same global
     # batch (this process has 8 virtual devices via conftest, but the plain
     # unsharded step on one device is the cleanest oracle)
