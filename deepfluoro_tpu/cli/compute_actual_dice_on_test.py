@@ -37,11 +37,15 @@ def main(argv=None):
 
     select_platform()
 
+    from deepfluoro_tpu.native import read_dataset_direct
+
     with h5.File(args.ds_path, "r") as f:
         gt_segs = f["{:02d}/segs".format(args.pat_ind)][:]
 
     with h5.File(args.seg_file, "r") as f:
-        est_segs = f[args.seg_group][:]
+        # nn-segs follow the per-image-chunk gzip contract: read them via
+        # direct chunk reads + native parallel inflate
+        est_segs = read_dataset_direct(f[args.seg_group])
 
     assert gt_segs.shape[0] == est_segs.shape[0]
 

@@ -40,9 +40,13 @@ def main(argv=None):
     land_names = get_land_names_from_dataset(args.heat_file_path)
 
     print("reading heatmaps...")
+    # direct-chunk reads + native parallel inflate (falls back to plain h5py
+    # slicing for layouts outside the inference output contract)
+    from deepfluoro_tpu.native import read_dataset_direct
+
     with h5.File(args.heat_file_path, "r") as f:
-        heats = f[args.heats_group_path][:]
-        segs = f[args.use_seg][:] if args.use_seg else None
+        heats = read_dataset_direct(f[args.heats_group_path])
+        segs = read_dataset_direct(f[args.use_seg]) if args.use_seg else None
 
     print("detecting landmark locations...")
     # per-projection measured times (each projection's L detections run as

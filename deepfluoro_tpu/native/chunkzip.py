@@ -60,6 +60,13 @@ def _load():
             ctypes.c_void_p, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.dft_decompress_chunks.restype = ctypes.c_int
+        lib.dft_decompress_chunks.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -104,6 +111,90 @@ def compress_chunks(data: np.ndarray, level: int = 9, n_threads: int | None = No
     if rc != 0:
         raise RuntimeError("native compression failed with zlib code {}".format(rc))
     return [dst[i, : sizes[i]].tobytes() for i in range(n_chunks)]
+
+
+def decompress_chunks(
+    blobs: list[bytes], chunk_bytes: int, n_threads: int | None = None
+) -> np.ndarray:
+    """Inflate zlib streams in parallel into a (n_chunks, chunk_bytes) u8
+    array. Falls back to serial zlib when the native library is unavailable."""
+    n_chunks = len(blobs)
+    out = np.empty((n_chunks, chunk_bytes), np.uint8)
+    if n_chunks == 0:
+        return out
+
+    lib = _load()
+    if lib is None:
+        for i, blob in enumerate(blobs):
+            raw = zlib.decompress(blob)
+            if len(raw) != chunk_bytes:
+                raise RuntimeError(
+                    "chunk {} inflated to {} bytes, expected {}".format(i, len(raw), chunk_bytes)
+                )
+            out[i] = np.frombuffer(raw, np.uint8)
+        return out
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, n_chunks, 16)
+
+    src = np.frombuffer(b"".join(blobs), np.uint8)
+    sizes_np = np.asarray([len(b) for b in blobs], np.uint64)
+    offsets_np = np.zeros(n_chunks, np.uint64)
+    np.cumsum(sizes_np[:-1], out=offsets_np[1:])
+    rc = lib.dft_decompress_chunks(
+        src.ctypes.data_as(ctypes.c_void_p),
+        offsets_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        sizes_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_chunks,
+        chunk_bytes,
+        n_threads,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise RuntimeError("native decompression failed with zlib code {}".format(rc))
+    return out
+
+
+def _gzip_only(dset) -> bool:
+    """True when the dataset's filter pipeline is exactly the gzip filter
+    (no shuffle/fletcher32/scaleoffset), i.e. raw chunks are plain zlib."""
+    return (
+        dset.chunks is not None
+        and dset.compression == "gzip"
+        and not dset.shuffle
+        and not dset.fletcher32
+        and dset.scaleoffset is None
+    )
+
+
+def read_dataset_direct(dset) -> np.ndarray:
+    """Read a whole per-image-chunked gzip dataset (the inference output
+    contract: nn-segs (N,R,C) chunked (1,R,C); nn-heats (N,L,R,C) chunked
+    (1,1,R,C)) via direct chunk reads + parallel inflate, bypassing h5py's
+    serial filter pipeline. Any other layout falls back to ``dset[:]``."""
+    shape = dset.shape
+    expected = (1,) + shape[1:] if len(shape) == 3 else (1, 1) + shape[2:]
+    if (
+        len(shape) not in (3, 4)
+        or not _gzip_only(dset)
+        or dset.chunks != expected
+        or any(s == 0 for s in shape)
+    ):
+        return dset[:]
+
+    if len(shape) == 3:
+        coords = [(i, 0, 0) for i in range(shape[0])]
+    else:
+        coords = [(i, j, 0, 0) for i in range(shape[0]) for j in range(shape[1])]
+    try:
+        pairs = [dset.id.read_direct_chunk(c) for c in coords]
+    except Exception:  # unallocated chunk, unsupported driver, ... — not fatal
+        return dset[:]
+    if any(mask != 0 for mask, _ in pairs):  # a filter was skipped at write
+        return dset[:]
+    chunk_bytes = int(np.prod(expected)) * dset.dtype.itemsize
+    flat = decompress_chunks([b for _, b in pairs], chunk_bytes)
+    return flat.view(dset.dtype).reshape(shape)
 
 
 def write_dataset_direct(dset, start_index: int, data: np.ndarray, level: int = 9) -> None:
