@@ -114,7 +114,13 @@ def tp_state_shardings(mesh: Mesh, state_template, axis: str = "model"):
 
 
 def make_tp_train_step(
-    cfg: TrainConfig, model, tx, mesh: Mesh, state_template: TrainState, axis: str = "model"
+    cfg: TrainConfig,
+    model,
+    tx,
+    mesh: Mesh,
+    state_template: TrainState,
+    axis: str = "model",
+    spatial: bool = False,
 ):
     """Tensor-parallel train step: filters sharded along the output-channel
     axis (SURVEY.md §2.3 TP row — optional for this model size, built as the
@@ -122,15 +128,37 @@ def make_tp_train_step(
 
     Every parameter / optimizer-buffer leaf is sharded on its trailing axis
     over ``axis`` when divisible (2**wf channels at level 0, doubling per
-    level, so any power-of-two TP degree <= 2**wf shards every conv); the
-    batch is replicated. XLA's partitioner propagates the channel sharding
-    through the forward/backward convs and inserts the collectives. Returns
-    (train_step, place_state); place_state distributes a TrainState onto the
-    mesh with the same rule the step's in/out shardings pin.
+    level, so any power-of-two TP degree <= 2**wf shards every conv). TP
+    composes with data parallelism through the mesh itself: when the mesh
+    also has a 'data' axis the batch is sharded over it (DP x TP, verified
+    exact against the unsharded step); with no 'data' axis the batch
+    replicates and the step is pure TP. XLA's partitioner propagates the
+    channel sharding through the forward/backward convs and inserts the
+    collectives.
+
+    ``spatial=True`` (H-axis sharding on top of TP) is REJECTED: measured on
+    jax 0.8 CPU meshes, the GSPMD partitioner produces wrong first-conv
+    weight/bias gradients (~1e-3 absolute, 100% relative) when a
+    spatially-sharded activation meets a channel-sharded kernel, alongside
+    an "involuntary full rematerialization" warning — the same partitioner
+    genus as the grouped-conv ensemble pathology (see
+    make_sharded_ensemble_forward). Shard spatially with
+    make_sharded_train_step (DP x spatial, verified exact at depth 6)
+    instead. Returns (train_step, place_state); place_state distributes a
+    TrainState onto the mesh with the same rule the step's in/out shardings
+    pin.
     """
     from deepfluoro_tpu.train.step import grad_and_update, make_loss_fn
 
     assert axis in mesh.axis_names
+    if spatial and "spatial" in mesh.axis_names:
+        raise NotImplementedError(
+            "spatial x tensor-parallel composition is disabled: the GSPMD "
+            "partitioner mis-computes first-conv weight gradients for "
+            "spatially-sharded inputs against channel-sharded kernels "
+            "(measured ~1e-3 error); use make_sharded_train_step for "
+            "spatial sharding"
+        )
     loss_fn = make_loss_fn(cfg, model)
     repl = NamedSharding(mesh, P())
 
@@ -139,9 +167,17 @@ def make_tp_train_step(
     def step(state: TrainState, proj, seg, heats, lr):
         return grad_and_update(loss_fn, tx, state, proj, seg, heats, lr)
 
+    batch_sh = NamedSharding(mesh, _batch_spec(mesh, 4, spatial))
+
     jit_step = jax.jit(
         step,
-        in_shardings=(state_shardings, repl, repl, repl if cfg.num_lands > 0 else None, None),
+        in_shardings=(
+            state_shardings,
+            batch_sh,
+            batch_sh,
+            batch_sh if cfg.num_lands > 0 else None,
+            None,
+        ),
         out_shardings=(state_shardings, repl),
     )
 
