@@ -1,0 +1,90 @@
+#!/bin/bash
+# End-to-end quality harness: the complete paper workflow — 6-fold
+# leave-one-specimen-out training (train_test_code/Readme.md:14-17 recipe),
+# per-fold held-out inference, landmark decode, hard-Dice scoring — in one
+# command.
+#
+#   scripts/synthetic_e2e.sh <workdir> [dataset.h5] [epochs]
+#
+# With no dataset argument a synthetic 6-specimen archive is generated at
+# the 8x-downsample geometry (180^2), so the harness runs anywhere; pass the
+# real ipcai_2020_ds_8x.h5 to produce the paper's quality numbers
+# (BASELINE.md "to be measured" table) when the JHU archives are available.
+# Runs on whatever jax.devices() provides (TPU chip or CPU).
+set -euo pipefail
+
+WORKDIR=${1:?usage: synthetic_e2e.sh <workdir> [dataset.h5] [epochs]}
+DATASET=${2:-}
+EPOCHS=${3:-150}
+mkdir -p "$WORKDIR"
+cd "$WORKDIR"
+
+if [ -z "$DATASET" ]; then
+  DATASET=ds.h5
+  python -c "
+from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+write_synthetic_dataset('$DATASET', num_specimens=6, num_projs=100, img_dim=180, seed=11)
+print('synthetic dataset written: $DATASET')
+"
+fi
+
+echo "=== train_folds: 6-fold paper recipe, $EPOCHS epochs ==="
+python -m deepfluoro_tpu.cli.train_folds "$DATASET" \
+  --pats 1,2,3,4,5,6 --epochs "$EPOCHS" --batch-size 5 --unet-img-dim 192 \
+  --optim sgd --lr-sched plateau --init-lr 0.1 --momentum 0.9 --nesterov \
+  --wgt-decay 1e-4 --unet-num-lvls 6 --unet-init-feats-exp 5 \
+  --unet-batch-norm --unet-padding --unet-no-max-pool \
+  --data-aug --use-lands --heat-coeff 0.5 --train-valid-split 0.85 \
+  --checkpoint-freq 75 --net-prefix zz_fold --bf16 --seed 42
+
+echo "=== per-fold held-out evaluation ==="
+for k in 1 2 3 4 5 6; do
+  kk=$(printf "%02d" "$k")
+  echo "--- specimen $k (net zz_fold_spec${kk}.pt) ---"
+  python -m deepfluoro_tpu.cli.test_ensemble "$DATASET" "out_${kk}.h5" \
+    --pats "$k" --nets "zz_fold_spec${kk}.pt" --times "times_${kk}.txt" --batch-size 10
+  # landmark decode + Dice scoring are tiny compute (the reference runs them
+  # on plain CPU, est_lands_csv.py / compute_actual_dice_on_test.py) — pin
+  # them to the CPU backend so they don't pay device-compile latency
+  JAX_PLATFORMS=cpu python -m deepfluoro_tpu.cli.est_lands_csv "out_${kk}.h5" nn-heats \
+    --use-seg nn-segs --pat "$k" --out "lands_${kk}.csv"
+  JAX_PLATFORMS=cpu python -m deepfluoro_tpu.cli.compute_actual_dice_on_test "$DATASET" "out_${kk}.h5" \
+    nn-segs "dice_${kk}.csv" "$k"
+done
+
+echo "=== summary ==="
+python - "$DATASET" <<'EOF'
+import csv, sys
+import numpy as np
+import h5py
+
+dataset = sys.argv[1]
+folds = ["01", "02", "03", "04", "05", "06"]
+dice_all, det_tot, det_hit, errs_all = [], 0, 0, []
+with h5py.File(dataset) as ds:
+    for kk in folds:
+        vals = [float(r["dice"]) for r in csv.DictReader(open("dice_%s.csv" % kk))]
+        dice_all.append(np.mean(vals))
+        gt = np.asarray(ds[kk + "/lands"])  # (N, 2, L) col-then-row
+        det, errs, total = 0, [], 0
+        for row in csv.DictReader(open("lands_%s.csv" % kk)):
+            p, l = int(row["proj"]), int(row["land"])
+            gx, gy = float(gt[p, 0, l]), float(gt[p, 1, l])
+            if not np.isfinite(gx):
+                continue
+            total += 1
+            r, c = float(row["row"]), float(row["col"])
+            if r < 0:
+                continue
+            det += 1
+            errs.append(float(np.hypot(r - gy, c - gx)))
+        det_tot += total; det_hit += det; errs_all += errs
+        tm = [float(x) for x in open("times_%s.txt" % kk)]
+        print("spec %s: mean hard Dice %.4f | lands %d/%d | err median %.2f px | %.2f ms/img"
+              % (kk, dice_all[-1], det, total,
+                 np.median(errs) if errs else float("nan"), 1e3 * np.mean(tm)))
+print("OVERALL: mean Dice %.4f | detection %.1f%% | err median %.2f px"
+      % (np.mean(dice_all), 100.0 * det_hit / max(1, det_tot),
+         np.median(errs_all) if errs_all else float("nan")))
+EOF
+echo "=== E2E COMPLETE ==="
