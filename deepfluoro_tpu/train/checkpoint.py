@@ -31,24 +31,58 @@ class AsyncCheckpointer:
     """Overlap checkpoint I/O with training.
 
     ``save`` snapshots the state with an on-device copy (cheap; survives the
-    next step's buffer donation) and hands the device->host fetch plus the
-    serialized file write to a background thread. At most one save is in
-    flight; a new save (or ``wait``) joins the previous one first, so file
-    writes stay ordered and the atomic-replace contract holds.
+    next step's buffer donation) and enqueues the device->host fetch plus
+    the serialized file write onto a background worker thread. Tasks run
+    strictly in submission order, so writes to the same file keep the
+    atomic-replace contract, and ``copy`` (the reference's best-valid
+    copy-instead-of-resave optimization, train.py:523-531) is ordered after
+    the save that produced its source. Submission only blocks when
+    ``max_pending`` snapshots are already queued — backpressure so a slow
+    filesystem cannot accumulate unbounded device snapshots. Worker errors
+    surface on the next ``save``/``copy``/``wait`` call.
     """
 
-    def __init__(self):
+    def __init__(self, max_pending: int = 2):
+        import queue
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._thread: threading.Thread | None = None
+        self._err: BaseException | None = None
+
+    def _worker(self):
+        while True:
+            task = self._q.get()
+            try:
+                kind, args, kwargs = task
+                if kind == "save":
+                    save_checkpoint(*args, **kwargs)
+                else:
+                    _atomic_copy(*args)
+            except BaseException as e:
+                if self._err is None:  # keep the first error
+                    self._err = e
+            finally:
+                self._q.task_done()
+
+    def _submit(self, task) -> None:
+        self._raise_pending()
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        self._q.put(task)
+
+    def _raise_pending(self) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
     def wait(self) -> None:
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
+        self._q.join()
+        self._raise_pending()
 
     def save(self, path: str, **kwargs) -> None:
         if jax.process_index() != 0:
             return  # single-writer (see save_checkpoint); skip snapshot work
-        self.wait()
         # device-side copy: jnp arrays are immutable, but the *buffers* get
         # donated by the next train step, so snapshot before returning
         snap = {}
@@ -56,12 +90,21 @@ class AsyncCheckpointer:
             if kwargs.get(key) is not None:
                 snap[key] = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, kwargs[key])
         kwargs.update(snap)
+        self._submit(("save", (path,), kwargs))
 
-        def run():
-            save_checkpoint(path, **kwargs)
+    def copy(self, src: str, dst: str) -> None:
+        """Enqueue an atomic file copy, ordered after pending saves of src."""
+        if jax.process_index() != 0:
+            return
+        self._submit(("copy", (src, dst), {}))
 
-        self._thread = threading.Thread(target=run, daemon=True)
-        self._thread.start()
+
+def _atomic_copy(src: str, dst: str) -> None:
+    import shutil
+
+    tmp = dst + ".tmp"
+    shutil.copy(src, tmp)
+    os.replace(tmp, dst)
 
 
 def save_checkpoint(

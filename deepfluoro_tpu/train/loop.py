@@ -19,7 +19,6 @@ checkpoints on exit (train.py:569-576).
 from __future__ import annotations
 
 import os
-import shutil
 import signal
 import time
 
@@ -388,9 +387,10 @@ def fit(
         if new_best_valid and cfg.save_best_valid:
             log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
             if net_saved_this_epoch_path is not None:
-                if is_writer:
-                    checkpointer.wait()
-                    shutil.copy(net_saved_this_epoch_path, best_valid_filename)
+                # ordered behind the pending save of the source file — the
+                # reference's copy-instead-of-resave optimization
+                # (train.py:523-531) without blocking the next epoch
+                checkpointer.copy(net_saved_this_epoch_path, best_valid_filename)
             else:
                 save_net(best_valid_filename)
                 net_saved_this_epoch_path = best_valid_filename
@@ -406,9 +406,7 @@ def fit(
             )
             log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
             if net_saved_this_epoch_path is not None:
-                if is_writer:
-                    checkpointer.wait()
-                    shutil.copy(net_saved_this_epoch_path, restart_net_path)
+                checkpointer.copy(net_saved_this_epoch_path, restart_net_path)
             else:
                 save_net(restart_net_path)
                 net_saved_this_epoch_path = restart_net_path
@@ -439,9 +437,8 @@ def fit(
             log("    saving checkpoint before exit!")
             if net_saved_this_epoch_path is None:
                 save_net(checkpoint_filename)
-            elif net_saved_this_epoch_path != checkpoint_filename and is_writer:
-                checkpointer.wait()
-                shutil.copy(net_saved_this_epoch_path, checkpoint_filename)
+            elif net_saved_this_epoch_path != checkpoint_filename:
+                checkpointer.copy(net_saved_this_epoch_path, checkpoint_filename)
 
     log("Training Hours: {:.4f}".format(tot_time_hours))
     checkpointer.wait()

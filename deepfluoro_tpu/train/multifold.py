@@ -423,7 +423,10 @@ def fit_multifold(
         eval_idx[k, nv:] = valid_idx[k][0]
         eval_mask[k, :nv] = True
 
-    checkpointer = AsyncCheckpointer()
+    # one checkpointer per fold: K fold saves submit without joining each
+    # other, so the (large, serialized) state fetches of all folds overlap
+    # the next epoch's training instead of blocking on submission order
+    checkpointers = [AsyncCheckpointer() for _ in range(k_folds)]
 
     def writer_set(prefix, new_file):
         # multi-host: process 0 owns the loss-log files (checkpoint writes
@@ -458,7 +461,7 @@ def fit_multifold(
 
     def save_fold(k, path):
         st = fold_state(stacked, k)
-        checkpointer.save(
+        checkpointers[k].save(
             path,
             meta=cfg.to_checkpoint_meta(),
             params=st.params,
@@ -577,7 +580,13 @@ def fit_multifold(
                 )
             )
             for k in new_best:
-                save_fold(k, best_paths[k])
+                if saved_ck_this_epoch:
+                    # same state already being written as this fold's
+                    # checkpoint — copy it instead of re-fetching (ordered
+                    # behind the save; reference train.py:523-531)
+                    checkpointers[k].copy(ck_paths[k], best_paths[k])
+                else:
+                    save_fold(k, best_paths[k])
 
         this_epoch_hours = (time.time() - epoch_start) / 3600.0
         log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
@@ -605,7 +614,8 @@ def fit_multifold(
                 save_fold(k, ck_paths[k])
 
     log("Training Hours: {:.4f}".format(tot_time_hours))
-    checkpointer.wait()
+    for c in checkpointers:
+        c.wait()
     for ws in (train_loss_out, valid_loss_out):
         if ws is not None:
             for w in ws:

@@ -327,3 +327,33 @@ class TestAsyncCheckpointer:
             ck.save(p, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=e)
         ck.wait()
         assert load_checkpoint(p)["epoch"] == 2
+
+    def test_copy_ordered_after_save(self, tmp_path):
+        """copy(src, dst) must see the PENDING save of src (the best-valid
+        copy optimization enqueues right behind the checkpoint save)."""
+        from deepfluoro_tpu.train.checkpoint import AsyncCheckpointer
+
+        cfg = small_cfg(depth=2, init_feats_exp=2, num_lands=0, batch_norm=False)
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        ck = AsyncCheckpointer()
+        src, dst = str(tmp_path / "ck.pt"), str(tmp_path / "best.pt")
+        ck.save(src, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=7)
+        ck.copy(src, dst)
+        ck.wait()
+        assert load_checkpoint(dst)["epoch"] == 7
+
+    def test_worker_error_surfaces_on_wait(self, tmp_path):
+        from deepfluoro_tpu.train.checkpoint import AsyncCheckpointer
+
+        cfg = small_cfg(depth=2, init_feats_exp=2, num_lands=0, batch_norm=False)
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        ck = AsyncCheckpointer()
+        bad = str(tmp_path / "no_such_dir" / "x.pt")
+        ck.save(bad, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=0)
+        with pytest.raises(Exception):
+            ck.wait()
+        # the checkpointer stays usable after surfacing the error
+        good = str(tmp_path / "ok.pt")
+        ck.save(good, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=1)
+        ck.wait()
+        assert load_checkpoint(good)["epoch"] == 1
