@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--best-net", help="file for the network with the lowest validation loss", type=str, default="zz_best_valid.pt")
     parser.add_argument("--checkpoint-freq", help="save the checkpoint every this many epochs", type=int, default=1)
     parser.add_argument("--no-save-best-valid", help="disable writing the best-validation network", action="store_true")
+    parser.add_argument("--light-best-nets", help="best-valid / pre-restart files store only arch meta + weights + BN stats (inference artifacts), not optimizer/scheduler state — halves their size; the periodic checkpoint keeps full state for resume", action="store_true")
     parser.add_argument("--optim", help="optimizer: sgd | adam | rmsprop", type=str, default="sgd")
     parser.add_argument("--lr-sched", help="LR schedule: 'cos' = warm-restart cosine annealing, 'plateau' = decay when validation stalls, 'none' = constant", type=str, default="cos")
     parser.add_argument("--init-lr", help="starting learning rate", type=float, default=1.0e-2)
@@ -132,6 +133,7 @@ def main(argv=None):
         train_valid_split=args.train_valid_split,
         checkpoint_freq=args.checkpoint_freq,
         save_best_valid=not args.no_save_best_valid,
+        light_best_nets=args.light_best_nets,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )

@@ -66,6 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dice-valid", help="Use only dice validation loss even when training with dice + heatmap loss", action="store_true")
     parser.add_argument("--train-valid-split", help="Per-fold ratio of the training pool kept for training; the rest validates", type=float, default=0.85)
     parser.add_argument("--checkpoint-freq", type=int, default=1)
+    parser.add_argument("--light-best-nets", help="best-valid nets store only arch meta + weights + BN stats, not optimizer/scheduler state — halves their size; the resume checkpoints keep full state", action="store_true")
     parser.add_argument("--net-prefix", help="Prefix for per-fold BEST-VALIDATION networks <prefix>_specXX.pt", type=str, default="zz_fold")
     parser.add_argument("--checkpoint-prefix", help="Prefix for per-fold resume checkpoints", type=str, default="zz_fold_checkpoint")
     parser.add_argument("--train-loss-prefix", help="Prefix for per-fold train loss txt files ('' disables)", type=str, default="")
@@ -123,6 +124,7 @@ def main(argv=None):
         use_dice_valid=args.dice_valid,
         train_valid_split=args.train_valid_split,
         checkpoint_freq=args.checkpoint_freq,
+        light_best_nets=args.light_best_nets,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )

@@ -52,6 +52,11 @@ class TrainConfig:
     train_valid_split: float = -1.0
     checkpoint_freq: int = 1
     save_best_valid: bool = True
+    # best-valid / pre-restart snapshots store only meta + params + BN stats
+    # (what inference and test_ensemble's rebuild need), not optimizer /
+    # scheduler state — halves their write size; the periodic checkpoint
+    # keeps full state for resume
+    light_best_nets: bool = False
     seed: int = 0
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (TPU fast path)
 
@@ -85,6 +90,7 @@ class TrainConfig:
         "lrs-cooldown": "lr_cooldown",
         "checkpoint-freq": "checkpoint_freq",
         "save-best-valid": "save_best_valid",
+        "light-best-nets": "light_best_nets",
         "init-lr": "init_lr",
         "compute-dtype": "compute_dtype",
     }

@@ -183,12 +183,19 @@ def fit(
     epoch = 0
 
     if prev is not None:
+        if not prev["optimizer-state-dict"]:
+            # a light best-valid / pre-restart snapshot: params only — keep
+            # the fresh optimizer state (warm-starting weights, not momentum)
+            log("  checkpoint stores no optimizer state; starting optimizer fresh")
+            opt_restored = state.opt_state
+        else:
+            opt_restored = restore_tree(state.opt_state, prev["optimizer-state-dict"])
         state = state.replace(
             params=restore_tree(state.params, prev["model-state-dict"]["params"]),
             batch_stats=restore_tree(
                 state.batch_stats, prev["model-state-dict"]["batch_stats"]
             ),
-            opt_state=restore_tree(state.opt_state, prev["optimizer-state-dict"]),
+            opt_state=opt_restored,
         )
         if lr_sched is not None and prev["scheduler-state-dict"]:
             lr_sched.load_state_dict(prev["scheduler-state-dict"])
@@ -360,16 +367,20 @@ def fit(
             best_valid_loss = avg_valid_loss
             new_best_valid = True
 
-        def save_net(net_path):
+        def save_net(net_path, light=False):
             # async: snapshot on device, write in a background thread so the
-            # next epoch trains while the (large) state serializes
+            # next epoch trains while the (large) state serializes. light
+            # saves (cfg.light_best_nets) drop optimizer/scheduler state —
+            # best-valid / pre-restart files are inference artifacts
             checkpointer.save(
                 net_path,
                 meta=cfg.to_checkpoint_meta(),
                 params=state.params,
                 batch_stats=state.batch_stats,
-                opt_state=state.opt_state,
-                sched_state=lr_sched.state_dict() if lr_sched is not None else None,
+                opt_state=None if light else state.opt_state,
+                sched_state=None if light else (
+                    lr_sched.state_dict() if lr_sched is not None else None
+                ),
                 epoch=epoch,
                 best_valid_loss=best_valid_loss,
                 last_loss=last_loss,
@@ -392,8 +403,9 @@ def fit(
                 # (train.py:523-531) without blocking the next epoch
                 checkpointer.copy(net_saved_this_epoch_path, best_valid_filename)
             else:
-                save_net(best_valid_filename)
-                net_saved_this_epoch_path = best_valid_filename
+                save_net(best_valid_filename, light=cfg.light_best_nets)
+                if not cfg.light_best_nets:
+                    net_saved_this_epoch_path = best_valid_filename
 
         if (
             lrs_is_cos
@@ -408,8 +420,9 @@ def fit(
             if net_saved_this_epoch_path is not None:
                 checkpointer.copy(net_saved_this_epoch_path, restart_net_path)
             else:
-                save_net(restart_net_path)
-                net_saved_this_epoch_path = restart_net_path
+                save_net(restart_net_path, light=cfg.light_best_nets)
+                if not cfg.light_best_nets:
+                    net_saved_this_epoch_path = restart_net_path
 
         this_epoch_hours = (time.time() - epoch_start) / 3600.0
         log("  This epoch took {:.4f} hours!".format(this_epoch_hours))

@@ -377,7 +377,9 @@ def fit_multifold(
                     batch_stats=restore_tree(
                         st.batch_stats, prev[k]["model-state-dict"]["batch_stats"]
                     ),
-                    opt_state=restore_tree(st.opt_state, prev[k]["optimizer-state-dict"]),
+                    # a light snapshot (params only) keeps the fresh optimizer
+                    opt_state=st.opt_state if not prev[k]["optimizer-state-dict"]
+                    else restore_tree(st.opt_state, prev[k]["optimizer-state-dict"]),
                     step=st.step,
                 )
             )
@@ -459,15 +461,17 @@ def fit_multifold(
     except ValueError:
         pass
 
-    def save_fold(k, path):
+    def save_fold(k, path, light=False):
         st = fold_state(stacked, k)
         checkpointers[k].save(
             path,
             meta=cfg.to_checkpoint_meta(),
             params=st.params,
             batch_stats=st.batch_stats,
-            opt_state=st.opt_state,
-            sched_state=scheds[k].state_dict() if scheds[k] is not None else None,
+            opt_state=None if light else st.opt_state,
+            sched_state=None if light else (
+                scheds[k].state_dict() if scheds[k] is not None else None
+            ),
             epoch=epoch,
             best_valid_loss=best_valid[k],
             last_loss=None if np.isnan(last_losses[k]) else float(last_losses[k]),
@@ -580,13 +584,13 @@ def fit_multifold(
                 )
             )
             for k in new_best:
-                if saved_ck_this_epoch:
+                if saved_ck_this_epoch and not cfg.light_best_nets:
                     # same state already being written as this fold's
                     # checkpoint — copy it instead of re-fetching (ordered
                     # behind the save; reference train.py:523-531)
                     checkpointers[k].copy(ck_paths[k], best_paths[k])
                 else:
-                    save_fold(k, best_paths[k])
+                    save_fold(k, best_paths[k], light=cfg.light_best_nets)
 
         this_epoch_hours = (time.time() - epoch_start) / 3600.0
         log("  This epoch took {:.4f} hours!".format(this_epoch_hours))

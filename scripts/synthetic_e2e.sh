@@ -35,7 +35,8 @@ python -m deepfluoro_tpu.cli.train_folds "$DATASET" \
   --wgt-decay 1e-4 --unet-num-lvls 6 --unet-init-feats-exp 5 \
   --unet-batch-norm --unet-padding --unet-no-max-pool \
   --data-aug --use-lands --heat-coeff 0.5 --train-valid-split 0.85 \
-  --checkpoint-freq 75 --net-prefix zz_fold --bf16 --seed 42
+  --checkpoint-freq 75 --net-prefix zz_fold --bf16 --seed 42 \
+  --light-best-nets
 
 echo "=== per-fold held-out evaluation ==="
 for k in 1 2 3 4 5 6; do

@@ -110,6 +110,24 @@ class TestFitMultifold:
         # valid loss files appended, not truncated
         assert len(open("{}_spec01.txt".format(str(tmp_path / "vl"))).readlines()) == 4
 
+    def test_light_best_nets(self, tmp_path, h5p):
+        """light_best_nets: fold best files drop optimizer/scheduler state;
+        resume checkpoints keep full state; best nets still rebuild."""
+        from deepfluoro_tpu.infer.ensemble import load_net_from_checkpoint
+
+        cfg = mf_cfg(max_num_epochs=1, light_best_nets=True, checkpoint_freq=5)
+        ckp, bp = str(tmp_path / "ck"), str(tmp_path / "best")
+        fit_multifold(h5p, [1, 2, 3], cfg, checkpoint_prefix=ckp,
+                      best_prefix=bp, verbose=False)
+        for p in (1, 2, 3):
+            light = load_checkpoint("{}_spec{:02d}.pt".format(bp, p))
+            full = load_checkpoint("{}_spec{:02d}.pt".format(ckp, p))
+            assert not light["optimizer-state-dict"]
+            assert full["optimizer-state-dict"]
+        model, variables, _ = load_net_from_checkpoint(
+            "{}_spec01.pt".format(bp), verbose=False
+        )
+
     def test_partial_checkpoint_set_refused(self, tmp_path, h5p):
         cfg = mf_cfg(max_num_epochs=1)
         ckp = str(tmp_path / "ck")

@@ -204,6 +204,47 @@ class TestFit:
         assert len(open(vl).readlines()) == 4
         assert len(open(tl).readlines()) > n_train_lines
 
+    def test_fit_light_best_nets(self, tmp_path, fixture_h5):
+        """light_best_nets: the best-valid file stores no optimizer/scheduler
+        state (inference artifact), the periodic checkpoint stays full, the
+        best net still rebuilds for inference, and resuming FROM the light
+        file starts the optimizer fresh instead of crashing."""
+        cfg = small_cfg(max_num_epochs=2, light_best_nets=True)
+        ck = str(tmp_path / "check.pt")
+        best = str(tmp_path / "best.pt")
+        # checkpoint_freq=3 > epochs: best-valid takes the save_net (not
+        # copy) path, which is where the light variant matters
+        cfg.checkpoint_freq = 3
+        out = fit(
+            fixture_h5, [1, 2], cfg,
+            checkpoint_filename=ck, best_valid_filename=best,
+            train_loss_txt=str(tmp_path / "t.txt"),
+            valid_loss_txt=str(tmp_path / "v.txt"), verbose=False,
+        )
+        full = load_checkpoint(ck)  # exit-path checkpoint: full state
+        light = load_checkpoint(best)
+        assert full["optimizer-state-dict"]
+        assert not light["optimizer-state-dict"]
+        assert not light["scheduler-state-dict"]
+        assert os.path.getsize(best) < 0.75 * os.path.getsize(ck)
+
+        # the light net is a complete inference artifact
+        from deepfluoro_tpu.infer.ensemble import load_net_from_checkpoint
+
+        model, variables, cfg2 = load_net_from_checkpoint(best, verbose=False)
+        assert cfg2.init_feats_exp == cfg.init_feats_exp
+
+        # resuming from the light file warm-starts weights, fresh optimizer
+        cfg_resume = small_cfg(max_num_epochs=3, light_best_nets=True)
+        out2 = fit(
+            fixture_h5, [1, 2], cfg_resume,
+            checkpoint_filename=best,  # resume source = the light file
+            best_valid_filename=str(tmp_path / "best2.pt"),
+            train_loss_txt=str(tmp_path / "t2.txt"),
+            valid_loss_txt=str(tmp_path / "v2.txt"), verbose=False,
+        )
+        assert out2["epoch"] == 3
+
     def test_fit_stream_data_parity(self, tmp_path, fixture_h5):
         """stream_data=True (host-resident dataset, double-buffered H2D)
         must reproduce the device-resident fused path exactly: same shuffle
