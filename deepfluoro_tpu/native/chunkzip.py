@@ -193,7 +193,13 @@ def read_dataset_direct(dset) -> np.ndarray:
     if any(mask != 0 for mask, _ in pairs):  # a filter was skipped at write
         return dset[:]
     chunk_bytes = int(np.prod(expected)) * dset.dtype.itemsize
-    flat = decompress_chunks([b for _, b in pairs], chunk_bytes)
+    try:
+        flat = decompress_chunks([b for _, b in pairs], chunk_bytes)
+    except Exception:
+        # raw chunks that are not plain zlib of chunk_bytes (e.g. an extra
+        # registered filter h5py exposes no property for) — let the normal
+        # filter pipeline read them
+        return dset[:]
     return flat.view(dset.dtype).reshape(shape)
 
 

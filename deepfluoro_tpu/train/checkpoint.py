@@ -53,14 +53,18 @@ class AsyncCheckpointer:
         while True:
             task = self._q.get()
             try:
-                kind, args, kwargs = task
-                if kind == "save":
-                    save_checkpoint(*args, **kwargs)
-                else:
-                    _atomic_copy(*args)
+                # fail fast: after an error, skip queued tasks until the
+                # error has surfaced to the caller — a copy() queued behind
+                # a failed save() must not publish a stale source file as
+                # the (supposedly newer) destination
+                if self._err is None:
+                    kind, args, kwargs = task
+                    if kind == "save":
+                        save_checkpoint(*args, **kwargs)
+                    else:
+                        _atomic_copy(*args)
             except BaseException as e:
-                if self._err is None:  # keep the first error
-                    self._err = e
+                self._err = e
             finally:
                 self._q.task_done()
 

@@ -397,10 +397,12 @@ def fit(
 
         if new_best_valid and cfg.save_best_valid:
             log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
-            if net_saved_this_epoch_path is not None:
+            if net_saved_this_epoch_path is not None and not cfg.light_best_nets:
                 # ordered behind the pending save of the source file — the
                 # reference's copy-instead-of-resave optimization
-                # (train.py:523-531) without blocking the next epoch
+                # (train.py:523-531) without blocking the next epoch. With
+                # light_best_nets the copy would publish a full-state file,
+                # so the light save path is taken instead.
                 checkpointer.copy(net_saved_this_epoch_path, best_valid_filename)
             else:
                 save_net(best_valid_filename, light=cfg.light_best_nets)
@@ -417,7 +419,7 @@ def fit(
                 cfg.save_restart_net_prefix, num_restarts - 1
             )
             log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
-            if net_saved_this_epoch_path is not None:
+            if net_saved_this_epoch_path is not None and not cfg.light_best_nets:
                 checkpointer.copy(net_saved_this_epoch_path, restart_net_path)
             else:
                 save_net(restart_net_path, light=cfg.light_best_nets)

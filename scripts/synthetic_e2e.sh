@@ -13,9 +13,17 @@
 # Runs on whatever jax.devices() provides (TPU chip or CPU).
 set -euo pipefail
 
+# whole body inside braces: bash parses it completely before executing, so
+# editing this file while a run is in flight cannot garble that run
+{
+
 WORKDIR=${1:?usage: synthetic_e2e.sh <workdir> [dataset.h5] [epochs]}
 DATASET=${2:-}
 EPOCHS=${3:-150}
+# resolve before cd so a dataset path relative to the caller's cwd works
+if [ -n "$DATASET" ]; then
+  DATASET=$(realpath "$DATASET")
+fi
 mkdir -p "$WORKDIR"
 cd "$WORKDIR"
 
@@ -67,11 +75,16 @@ with h5py.File(dataset) as ds:
         vals = [float(r["dice"]) for r in csv.DictReader(open("dice_%s.csv" % kk))]
         dice_all.append(np.mean(vals))
         gt = np.asarray(ds[kk + "/lands"])  # (N, 2, L) col-then-row
+        R, C = ds[kk + "/projs"].shape[1:3]
         det, errs, total = 0, [], 0
         for row in csv.DictReader(open("lands_%s.csv" % kk)):
             p, l = int(row["proj"]), int(row["land"])
             gx, gy = float(gt[p, 0, l]), float(gt[p, 1, l])
-            if not np.isfinite(gx):
+            # archives store out-of-view landmarks as finite out-of-bounds
+            # coords (the loader marks them inf by the bounds test,
+            # data/hdf5.py::mark_oob_landmarks_inf) — skip them here too
+            if not (np.isfinite(gx) and np.isfinite(gy)
+                    and 0 <= gx < C and 0 <= gy < R):
                 continue
             total += 1
             r, c = float(row["row"]), float(row["col"])
@@ -89,3 +102,6 @@ print("OVERALL: mean Dice %.4f | detection %.1f%% | err median %.2f px"
          np.median(errs_all) if errs_all else float("nan")))
 EOF
 echo "=== E2E COMPLETE ==="
+exit 0
+
+}

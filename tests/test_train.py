@@ -234,6 +234,20 @@ class TestFit:
         model, variables, cfg2 = load_net_from_checkpoint(best, verbose=False)
         assert cfg2.init_feats_exp == cfg.init_feats_exp
 
+        # regression: with checkpoint_freq=1 (a periodic save EVERY epoch)
+        # the best file must still come out light — not a copy of the full
+        # checkpoint via the copy optimization
+        cfg_f1 = small_cfg(max_num_epochs=1, light_best_nets=True, checkpoint_freq=1)
+        fit(
+            fixture_h5, [1, 2], cfg_f1,
+            checkpoint_filename=str(tmp_path / "ck1.pt"),
+            best_valid_filename=str(tmp_path / "best1.pt"),
+            train_loss_txt=str(tmp_path / "t1.txt"),
+            valid_loss_txt=str(tmp_path / "v1.txt"), verbose=False,
+        )
+        assert not load_checkpoint(str(tmp_path / "best1.pt"))["optimizer-state-dict"]
+        assert load_checkpoint(str(tmp_path / "ck1.pt"))["optimizer-state-dict"]
+
         # resuming from the light file warm-starts weights, fresh optimizer
         cfg_resume = small_cfg(max_num_epochs=3, light_best_nets=True)
         out2 = fit(
