@@ -83,7 +83,15 @@ def make_specimen(
             c = _LAND_TO_CLASS.get(name, 1)
             if c in class_centers:
                 cy, cx, ry, rx = class_centers[c]
-                ang = rng.uniform(0, 2 * np.pi)
+                # DETERMINISTIC placement: a fixed per-landmark angle on the
+                # mid-ellipse ring, so the location is a function of the
+                # visible structure (like a real anatomical point) and a
+                # trained net can localize it. A random angle here makes the
+                # landmark unlearnable past the ring radius — at 180^2 that
+                # is +/-13 px of irreducible spread, the predicted heatmaps
+                # become annuli, and the rule-3 NCC>=0.9 gate correctly
+                # rejects every detection.
+                ang = 2 * np.pi * li / max(1, n_l)
                 x = cx + 0.5 * rx * np.cos(ang)
                 y = cy + 0.5 * ry * np.sin(ang)
             else:
