@@ -3,9 +3,10 @@ paper recipe per fold.
 
 The reference produces its 6-fold ensemble via six sequential train.py
 invocations of the full recipe (train_test_code/Readme.md:14-17: plateau LR,
-best-valid checkpointing, resume, up to 500 epochs). This CLI vmaps all
-folds' training into a single compiled program (train/multifold.py
-fit_multifold): per-fold validation splits, per-fold LR state machines,
+best-valid checkpointing, resume, up to 500 epochs). This CLI trains all
+folds in one program per step (train/multifold.py fit_multifold; folds
+combined with lax.map — measured faster than a fold-axis vmap, see
+BASELINE.md): per-fold validation splits, per-fold LR state machines,
 per-fold best-valid + periodic checkpoints, full resume, wall-clock budget.
 
   python -m deepfluoro_tpu.cli.train_folds ipcai_2020_ds_8x.h5 \

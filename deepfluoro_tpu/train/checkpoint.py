@@ -27,6 +27,27 @@ def _to_plain(tree):
     return jax.tree.map(lambda x: np.asarray(x), serialization.to_state_dict(tree))
 
 
+_jit_copy = None
+
+
+def _snapshot(trees: dict) -> dict:
+    """Copy every jax.Array leaf of ``trees`` in ONE jitted dispatch;
+    non-array leaves (python ints in optimizer states, ...) pass through
+    untouched so their types survive serialization unchanged."""
+    global _jit_copy
+    if _jit_copy is None:
+        import jax.numpy as jnp
+
+        _jit_copy = jax.jit(lambda xs: [jnp.copy(x) for x in xs])
+    leaves, treedef = jax.tree_util.tree_flatten(trees)
+    arr_idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+    if arr_idx:
+        copied = _jit_copy([leaves[i] for i in arr_idx])
+        for i, c in zip(arr_idx, copied):
+            leaves[i] = c
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class AsyncCheckpointer:
     """Overlap checkpoint I/O with training.
 
@@ -88,12 +109,16 @@ class AsyncCheckpointer:
         if jax.process_index() != 0:
             return  # single-writer (see save_checkpoint); skip snapshot work
         # device-side copy: jnp arrays are immutable, but the *buffers* get
-        # donated by the next train step, so snapshot before returning
-        snap = {}
-        for key in ("params", "batch_stats", "opt_state"):
-            if kwargs.get(key) is not None:
-                snap[key] = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x, kwargs[key])
-        kwargs.update(snap)
+        # donated by the next train step, so snapshot before returning. One
+        # jitted dispatch for all trees (an eager per-leaf .copy() is
+        # hundreds of round trips on remote-device transports).
+        snap = {
+            key: kwargs[key]
+            for key in ("params", "batch_stats", "opt_state")
+            if kwargs.get(key) is not None
+        }
+        if snap:
+            kwargs.update(_snapshot(snap))
         self._submit(("save", (path,), kwargs))
 
     def copy(self, src: str, dst: str) -> None:

@@ -3,12 +3,13 @@
 The reference's 6-fold ensemble is produced by six sequential complete
 training runs (train_test_code/Readme.md:14-17: plateau LR, best-valid
 checkpointing, resume, up to 500 epochs — one train.py invocation per
-held-out specimen, train.py:376-577). On TPU the natural formulation is to
-*vmap the whole training step over a fold axis*: K independent parameter
-sets update in one compiled program, the convolutions batch across folds to
-keep the MXU saturated, and the fold axis can additionally be sharded across
-devices over an 'ensemble' mesh axis (shard_map; folds are independent so no
-collectives are needed).
+held-out specimen, train.py:376-577). On TPU all K folds instead update in
+one compiled program per step, combined with ``lax.map`` over the fold axis
+(measured faster than a fold-axis vmap: per-fold weights make the convs
+grouped, which the MXU tiles badly — see BASELINE.md's combinator study),
+and the fold axis can additionally be sharded across devices over an
+'ensemble' mesh axis (shard_map; folds are independent so no collectives
+are needed).
 
 TPU-first memory design: all K folds gather from ONE shared device-resident
 copy of the archive (the union of all specimens). Each fold's identity lives
@@ -72,10 +73,17 @@ def make_multifold_state(cfg: TrainConfig, num_folds: int, rng_key, sample_shape
     return model, stacked
 
 
+@jax.jit
+def _fold_slice(stacked_state, k):
+    return jax.tree.map(lambda x: x[k], stacked_state)
+
+
 def fold_state(stacked_state, k: int):
     """Extract fold k's variables from the stacked state (for checkpointing
-    each fold as a standard self-describing checkpoint)."""
-    return jax.tree.map(lambda x: x[k], stacked_state)
+    each fold as a standard self-describing checkpoint). One jitted dispatch
+    for the whole tree — an eager per-leaf x[k] is hundreds of round trips,
+    which matters on remote-device transports."""
+    return _fold_slice(stacked_state, jnp.int32(k))
 
 
 def _maybe_shard_over_folds(mesh, fn, num_array_args: int):
@@ -106,7 +114,7 @@ def make_fused_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None):
 
     The dataset arrays are the SHARED union archive; each fold's (B,) index
     row selects its own batch. Gather + augmentation + value_and_grad +
-    optax update all fuse into one XLA program vmapped over folds.
+    optax update all fuse into one XLA program mapped over folds.
     """
     loss_fn = make_loss_fn(cfg, model)
 

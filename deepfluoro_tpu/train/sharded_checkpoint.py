@@ -210,8 +210,21 @@ def load_sharded_checkpoint(
         )
 
     abstract = _abstract_tree(templates, shardings)
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.join(path, _ARRAYS_SUBDIR), abstract)
+    # PyTreeRestore with partial_restore: the caller may request a SUBSET of
+    # the saved parts (e.g. params only, for inference, from a checkpoint
+    # that also stored opt_state) — StandardCheckpointer.restore rejects
+    # that with a structure-mismatch error. construct_restore_args carries
+    # the target shardings from the ShapeDtypeStructs (PyTreeRestore ignores
+    # shardings passed via the abstract tree alone).
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    restored = ckptr.restore(
+        os.path.join(path, _ARRAYS_SUBDIR),
+        args=ocp.args.PyTreeRestore(
+            item=abstract,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(abstract),
+            partial_restore=True,
+        ),
+    )
 
     payload["model-state-dict"] = {
         "params": restored["params"],

@@ -46,6 +46,44 @@ def save_state(path, cfg, state, **kw):
 
 
 class TestRoundTrip:
+    def test_partial_restore_params_only(self, tmp_path):
+        """A checkpoint saved with full state restores with just a params
+        template (the inference case) — the docstring's 'pass None for parts
+        that are not wanted' contract."""
+        cfg = small_cfg()
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        path = str(tmp_path / "ck")
+        save_state(path, cfg, state, epoch=3)
+
+        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(1), (32, 32))
+        out = load_sharded_checkpoint(path, tmpl.params)
+        restored = restore_typed(tmpl.params, out["model-state-dict"]["params"])
+        leaves_close(state.params, restored)
+        assert out["epoch"] == 3
+        assert out["optimizer-state-dict"] == {}
+
+    def test_partial_restore_onto_tp_shardings(self, tmp_path):
+        """Params-only restore placed directly onto a TP sharding tree: the
+        target shardings must be honored, not defaulted."""
+        cfg = small_cfg()
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        path = str(tmp_path / "ck")
+        save_state(path, cfg, state, epoch=1)
+
+        mesh = make_mesh({"model": 4}, devices=jax.devices()[:4])
+        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(1), (32, 32))
+        sh = tp_state_shardings(mesh, tmpl)
+        out = load_sharded_checkpoint(
+            path, tmpl.params, shardings={"params": sh.params}
+        )
+        restored = restore_typed(tmpl.params, out["model-state-dict"]["params"])
+        leaves_close(state.params, restored)
+        shardified = [
+            x for x in jax.tree.leaves(restored)
+            if hasattr(x, "sharding") and not x.sharding.is_fully_replicated
+        ]
+        assert shardified, "no restored leaf carries the TP sharding"
+
     def test_replicated_roundtrip_and_payload_contract(self, tmp_path):
         cfg = small_cfg()
         _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
