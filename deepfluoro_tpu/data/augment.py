@@ -62,6 +62,7 @@ from deepfluoro_tpu.ops.image import (
     calc_pad_amount,
     inverse_affine_matrix,
     transform_landmarks,
+    znorm,
 )
 
 
@@ -152,6 +153,11 @@ def _augment_proj_seg_lands(cfg: AugmentConfig, key, p, s, lands):
             from deepfluoro_tpu.ops.pallas.warp import pallas_warp_supported
 
             use_pallas = mode == "mirror" and pallas_warp_supported()
+        elif use_pallas and mode != "mirror":
+            # the Pallas kernel only implements mirror boundaries; honoring
+            # an explicit use_pallas_warp=True here would silently change
+            # the constant-fill semantics pad_data_for_affine=False selects
+            use_pallas = False
 
         if use_pallas:
             from deepfluoro_tpu.ops.pallas.warp import affine_warp_pallas
@@ -235,6 +241,10 @@ def _prepare_one(cfg: AugmentConfig, key, p, s, lands):
     None, heats (H, W, L) | None).
     """
     h, w = p.shape
+    # the whole chain (pad amounts, warp frames, erase boxes) assumes the
+    # reference's square frames (dataset.py:85) — fail at trace time, not
+    # with silently wrong geometry
+    assert h == w, "only square projections supported (reference dataset.py:85)"
     extra = _extra_pad(cfg, h)
 
     k_gate, k_aug = jax.random.split(key)
@@ -255,7 +265,7 @@ def _prepare_one(cfg: AugmentConfig, key, p, s, lands):
             p = jnp.pad(p, ((extra, extra), (extra, extra)), mode="reflect")
 
     if cfg.do_norm_01_scale:
-        p = (p - jnp.mean(p)) / jnp.std(p)
+        p = znorm(p)
 
     seg_onehot = None
     if s is not None:

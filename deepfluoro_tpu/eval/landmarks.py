@@ -46,6 +46,15 @@ _PAD = 12
 _NCC_THRESH = 0.9
 
 
+def _gate_labels(land_names, use_seg: bool) -> np.ndarray:
+    """(L,) int32 seg label per landmark; -1 disables gating."""
+    if not use_seg:
+        return np.full((len(land_names),), -1, np.int32)
+    return np.array(
+        [SEG_LABELS_TO_USE_FOR_LANDS.get(nm, -1) for nm in land_names], np.int32
+    )
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _detect_all(heats, segs, seg_labels, use_seg: bool):
     """heats: (N, L, H, W); segs: (N, H, W) int (dummy when use_seg=False);
@@ -96,14 +105,13 @@ def detect_landmarks(
     n, l, h, w = heats.shape
     assert len(land_names) == l
     use_seg = segs is not None
+    labels = _gate_labels(land_names, use_seg)
     if use_seg:
-        labels = np.array(
-            [SEG_LABELS_TO_USE_FOR_LANDS.get(nm, -1) for nm in land_names], np.int32
-        )
         segs_arr = jnp.asarray(segs.astype(np.int32))
     else:
-        labels = np.full((l,), -1, np.int32)
-        segs_arr = jnp.zeros((n, h, w), jnp.int32)
+        # the kernel never reads seg when use_seg=False (static gate), so
+        # carry a token-sized dummy instead of an (N, H, W) zeros upload
+        segs_arr = jnp.zeros((n, 1, 1), jnp.int32)
     rows, cols = _detect_all(
         jnp.asarray(heats, jnp.float32), segs_arr, jnp.asarray(labels), use_seg
     )
@@ -132,13 +140,7 @@ def detect_landmarks_timed(
     n, l, h, w = heats.shape
     assert len(land_names) == l
     use_seg = segs is not None
-    if use_seg:
-        labels = np.array(
-            [SEG_LABELS_TO_USE_FOR_LANDS.get(nm, -1) for nm in land_names], np.int32
-        )
-    else:
-        labels = np.full((l,), -1, np.int32)
-    labels_dev = jnp.asarray(labels)
+    labels_dev = jnp.asarray(_gate_labels(land_names, use_seg))
 
     heats_f = heats.astype(np.float32, copy=False)
     segs_i = None if segs is None else segs.astype(np.int32, copy=False)
@@ -148,7 +150,7 @@ def detect_landmarks_timed(
         sv = (
             jnp.asarray(segs_i[i : i + 1])
             if use_seg
-            else jnp.zeros((1, h, w), jnp.int32)
+            else jnp.zeros((1, 1, 1), jnp.int32)
         )
         r, c = _detect_all(hv, sv, labels_dev, use_seg)
         return np.asarray(r), np.asarray(c)

@@ -54,7 +54,10 @@ def soft_dice_loss(pred: jnp.ndarray, target: jnp.ndarray, skip_bg: bool = True)
       target: (B, H, W, C) one-hot ground truth.
       skip_bg: exclude channel 0 (background) from the average.
 
-    Returns scalar loss in [-1, 0]; -1 is a perfect segmentation.
+    Returns a scalar loss; -1 is a perfect segmentation. Nominally in
+    [-1, 0], but a class empty in BOTH pred and target contributes +1 (the
+    replicated eps quirk, see module doc), so batches missing a foreground
+    class can score above 0.
     """
     assert pred.ndim == 4 and target.ndim == 4
     return jnp.mean(per_sample_dice(pred, target, skip_bg))
@@ -69,6 +72,11 @@ def ncc_2d(x: jnp.ndarray, y: jnp.ndarray, axes: tuple[int, int] = (-2, -1)) -> 
     """
     n = x.shape[axes[0]] * x.shape[axes[1]]
     assert n > 1
+    # mismatched spatial dims would broadcast into a finite but wrong
+    # correlation (n and y's moments computed over different extents)
+    assert (
+        x.shape[axes[0]] == y.shape[axes[0]] and x.shape[axes[1]] == y.shape[axes[1]]
+    ), (x.shape, y.shape)
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
 
