@@ -167,11 +167,13 @@ def _gzip_only(dset) -> bool:
     )
 
 
-def read_dataset_direct(dset) -> np.ndarray:
+def read_dataset_direct(dset, force_direct: bool = False) -> np.ndarray:
     """Read a whole per-image-chunked gzip dataset (the inference output
     contract: nn-segs (N,R,C) chunked (1,R,C); nn-heats (N,L,R,C) chunked
     (1,1,R,C)) via direct chunk reads + parallel inflate, bypassing h5py's
-    serial filter pipeline. Any other layout falls back to ``dset[:]``."""
+    serial filter pipeline. Any other layout falls back to ``dset[:]``, as
+    does a single-CPU host (nothing to parallelize there; h5py's C pipeline
+    measured fastest). ``force_direct`` bypasses only the CPU gate (tests)."""
     shape = dset.shape
     expected = (1,) + shape[1:] if len(shape) == 3 else (1, 1) + shape[2:]
     if (
@@ -179,6 +181,7 @@ def read_dataset_direct(dset) -> np.ndarray:
         or not _gzip_only(dset)
         or dset.chunks != expected
         or any(s == 0 for s in shape)
+        or ((os.cpu_count() or 1) <= 1 and not force_direct)
     ):
         return dset[:]
 

@@ -125,7 +125,7 @@ class TestDirectRead:
                 compression="gzip", compression_opts=9,
             )
         with h5.File(p, "r") as f:
-            np.testing.assert_array_equal(read_dataset_direct(f["nn-segs"]), data)
+            np.testing.assert_array_equal(read_dataset_direct(f["nn-segs"], force_direct=True), data)
 
     def test_heats_layout(self, tmp_path, rng):
         data = rng.random((4, 3, 16, 16)).astype(np.float32)
@@ -136,7 +136,7 @@ class TestDirectRead:
                 compression="gzip", compression_opts=9,
             )
         with h5.File(p, "r") as f:
-            np.testing.assert_array_equal(read_dataset_direct(f["nn-heats"]), data)
+            np.testing.assert_array_equal(read_dataset_direct(f["nn-heats"], force_direct=True), data)
 
     def test_roundtrip_with_direct_write(self, tmp_path, rng):
         data = rng.random((6, 2, 12, 12)).astype(np.float32)
@@ -148,7 +148,7 @@ class TestDirectRead:
             )
             write_dataset_direct(d, 0, data)
         with h5.File(p, "r") as f:
-            np.testing.assert_array_equal(read_dataset_direct(f["x"]), data)
+            np.testing.assert_array_equal(read_dataset_direct(f["x"], force_direct=True), data)
 
     def test_fallback_layouts(self, tmp_path, rng):
         """Anything outside the per-image-chunk gzip contract must still read
@@ -167,7 +167,7 @@ class TestDirectRead:
             f.create_dataset("d", data=d)
         with h5.File(p, "r") as f:
             for name, ref in [("a", a), ("b", b), ("c", c), ("d", d)]:
-                np.testing.assert_array_equal(read_dataset_direct(f[name]), ref)
+                np.testing.assert_array_equal(read_dataset_direct(f[name], force_direct=True), ref)
 
     def test_unallocated_chunks(self, tmp_path):
         """A gzip dataset created but never written has no stored chunks;
@@ -180,5 +180,5 @@ class TestDirectRead:
             )
         with h5.File(p, "r") as f:
             np.testing.assert_array_equal(
-                read_dataset_direct(f["x"]), np.full((3, 8, 8), 0.5, np.float32)
+                read_dataset_direct(f["x"], force_direct=True), np.full((3, 8, 8), 0.5, np.float32)
             )
