@@ -59,6 +59,13 @@ for k in 1 2 3 4 5 6; do
     --use-seg nn-segs --pat "$k" --out "lands_${kk}.csv"
   JAX_PLATFORMS=cpu python -m deepfluoro_tpu.cli.compute_actual_dice_on_test "$DATASET" "out_${kk}.h5" \
     nn-segs "dice_${kk}.csv" "$k"
+  # visual artifacts for projection 3: estimated seg + landmarks overlay and
+  # one heatmap overlay (the reference Readme's documented workflow ends
+  # with these, train_test_code/Readme.md:38-61)
+  JAX_PLATFORMS=cpu python -m deepfluoro_tpu.cli.overlay_est_ann "$DATASET" "out_${kk}.h5" \
+    nn-segs "$k" 3 "overlay_ann_${kk}_proj3.png" --lands-csv "lands_${kk}.csv"
+  JAX_PLATFORMS=cpu python -m deepfluoro_tpu.cli.overlay_est_heat "$DATASET" "out_${kk}.h5" \
+    nn-heats "$k" 3 0 "overlay_heat_${kk}_proj3_land0.png"
 done
 
 echo "=== summary ==="
