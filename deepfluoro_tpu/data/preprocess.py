@@ -150,6 +150,24 @@ def full_res_to_preprocessed(
                             )[:, 0]
                     lands_out.append(pts)
 
+            # segs/lands datasets index-align with projs, so partial GT
+            # (some projections annotated, others not) cannot be stacked —
+            # it would silently pair projection i with the labels of a later
+            # projection. All-or-none per specimen, enforced loudly.
+            if segs_out and len(segs_out) != len(projs_out):
+                raise ValueError(
+                    "specimen {}: {} of {} projections have gt-seg — "
+                    "stacked 'segs' would misalign with 'projs'".format(
+                        spec_name, len(segs_out), len(projs_out)
+                    )
+                )
+            if lands_out and len(lands_out) != len(projs_out):
+                raise ValueError(
+                    "specimen {}: {} of {} projections have gt-landmarks — "
+                    "stacked 'lands' would misalign with 'projs'".format(
+                        spec_name, len(lands_out), len(projs_out)
+                    )
+                )
             og = dst.create_group("{:02d}".format(spec_id_map[spec_name]))
             og.create_dataset("projs", data=np.stack(projs_out))
             if segs_out:

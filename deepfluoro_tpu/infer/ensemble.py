@@ -232,16 +232,27 @@ def seg_dataset_ensemble(
 
     # warm-up: compile the prepare+forward programs before timing, so the
     # --times file reports steady-state per-image latency (the reference's
-    # eager loop has no compile cliff to exclude; util.py:321-366)
-    warm = jnp.zeros((batch_size, *orig_hw), jnp.float32)
-    _ = np.asarray(fwd(stacked, prepare_batch(aug_cfg, key, warm)["proj"])[2])
+    # eager loop has no compile cliff to exclude; util.py:321-366). The
+    # final partial batch is its OWN specialization — warm it up too, or its
+    # recompile lands inside the timed region
+    warm_shapes = set()
+    if n >= batch_size:
+        warm_shapes.add(batch_size)
+    if n % batch_size:
+        warm_shapes.add(n % batch_size)
+    for warm_b in warm_shapes:
+        warm = jnp.zeros((warm_b, *orig_hw), jnp.float32)
+        _ = np.asarray(fwd(stacked, prepare_batch(aug_cfg, key, warm)["proj"])[2])
 
     write_i = 0
     for projs, _, _ in it.epoch():
         start_time = time.time()
         prepared = prepare_batch(aug_cfg, key, projs)
         _, avg_heats, pred_labels = fwd(stacked, prepared["proj"])
-        pred_labels = jax.block_until_ready(pred_labels)
+        # drain with a scalar readback INSIDE the timed region: on some
+        # remote transports block_until_ready returns before execution
+        # finishes, which would under-report the paper's latency metric
+        _ = np.asarray(pred_labels[0, 0, 0])
         stop_time = time.time()
 
         b = int(projs.shape[0])
@@ -338,6 +349,8 @@ def test_dataset_ensemble(
 
     aug_cfg = AugmentConfig(
         num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,
+        # dice-only eval never reads target heatmaps — skip synthesizing them
+        include_heat_map=use_lands,
     )
     it = BatchIterator(data, batch_size=batch_size, shuffle=False)
     key = jax.random.PRNGKey(0)

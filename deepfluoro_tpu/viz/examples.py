@@ -46,18 +46,22 @@ def make_preproc_overlays(h5_path: str, out_dir: str = ".") -> list[str]:
             if "projs" not in spec_g:
                 continue
             projs = spec_g["projs"][:]
-            segs = spec_g["segs"][:]
-            lands = spec_g["lands"][:]
+            # archives converted from sources without GT annotations carry
+            # projs only (data/preprocess.py writes segs/lands when present)
+            segs = spec_g["segs"][:] if "segs" in spec_g else None
+            lands = spec_g["lands"][:] if "lands" in spec_g else None
             n, h, w = projs.shape
             if box_radius is None:
                 box_radius = max(16 * (h / 1536.0), 3.0)
 
             overlays = []
             for i in range(n):
-                img = blend_seg(normalized_proj_rgb(projs[i]), segs[i])
+                img = normalized_proj_rgb(projs[i])
+                if segs is not None:
+                    img = blend_seg(img, segs[i])
                 pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8), "RGB")
                 draw = ImageDraw.Draw(pil)
-                for li in range(lands.shape[2]):
+                for li in range(lands.shape[2] if lands is not None else 0):
                     x, y = lands[i, 0, li], lands[i, 1, li]
                     if 0 <= x < w and 0 <= y < h:
                         draw.ellipse(

@@ -165,12 +165,39 @@ class TestProjectiveGeometry:
         intr = np.array([[5000.0, 0, 768], [0, 5000.0, 768], [0, 0, 1]])
         assert focal_len_from_intrinsic(intr, 0.194) == pytest.approx(970.0)
 
+    def test_focal_len_negative_diagonal(self):
+        """X-ray intrinsics commonly carry negative focal terms; the signed
+        sum is averaged before the magnitude (full_res_3d_viz.py:185)."""
+        intr = np.array([[-5000.0, 0, 768], [0, -5000.0, 768], [0, 0, 1]])
+        assert focal_len_from_intrinsic(intr, 0.194, 0.194) == pytest.approx(970.0)
+
     def test_principal_point_maps_to_axis(self):
         intr = np.array([[5000.0, 0, 768], [0, 5000.0, 768], [0, 0, 1]])
         pt = pixel_index_to_detector_pt((768, 768), intr, 0.194, 0.194)
         assert pt[0] == pytest.approx(0.0)
         assert pt[1] == pytest.approx(0.0)
         assert pt[2] == pytest.approx(-970.0)
+
+    def test_detector_pt_matches_reference_formula(self):
+        """pixel -> detector point must equal inv(K) @ [u,v,1] * -f
+        (full_res_3d_viz.py:169-175), keeping the intrinsic's signs."""
+        for fx in (5000.0, -5000.0):
+            intr = np.array([[fx, 0, 768.0], [0, fx, 700.0], [0, 0, 1.0]])
+            f = focal_len_from_intrinsic(intr, 0.194, 0.194)
+            for uv in ((0, 0), (100, 1400), (1535, 1535)):
+                expect = np.linalg.inv(intr) @ np.array([uv[0], uv[1], 1.0]) * -f
+                got = pixel_index_to_detector_pt(uv, intr, 0.194, 0.194)
+                np.testing.assert_allclose(got, expect, atol=1e-9)
+        # a projected camera-frame point round-trips onto its detector ray:
+        # the detector point, the source (origin) and the 3D point are
+        # collinear
+        intr = np.array([[-5000.0, 0, 768.0], [0, -5000.0, 700.0], [0, 0, 1.0]])
+        p3 = np.array([37.0, -12.0, -600.0])
+        proj = intr @ p3
+        proj = proj / proj[2]
+        det = pixel_index_to_detector_pt(proj[:2], intr, 0.194, 0.194)
+        cross = np.cross(det, p3)
+        np.testing.assert_allclose(cross / np.linalg.norm(p3), 0.0, atol=1e-9)
 
     def test_vol_to_camera_is_inverse(self, rng):
         q, _ = np.linalg.qr(rng.random((3, 3)))
@@ -182,6 +209,43 @@ class TestProjectiveGeometry:
         np.testing.assert_allclose(
             vol_to_camera_xform(cam_to_vol) @ cam_to_vol, np.eye(4), atol=1e-10
         )
+
+    def test_vol_to_camera_composes_extrinsic(self, rng):
+        """Reference composes extrinsic @ inv(cam_to_vol)
+        (full_res_3d_viz.py:215-217)."""
+        from deepfluoro_tpu.viz.projective import invert_rigid
+
+        def rand_rigid():
+            q, _ = np.linalg.qr(rng.random((3, 3)))
+            if np.linalg.det(q) < 0:
+                q[:, 0] *= -1
+            x = np.eye(4)
+            x[:3, :3] = q
+            x[:3, 3] = rng.random(3) * 100
+            return x
+
+        cam_to_vol, extrinsic = rand_rigid(), rand_rigid()
+        np.testing.assert_allclose(
+            vol_to_camera_xform(cam_to_vol, extrinsic),
+            extrinsic @ invert_rigid(cam_to_vol),
+            atol=1e-10,
+        )
+
+    def test_index_to_physical_matrix(self):
+        """ITK mapping: phys = dir_mat @ (spacing * idx) + origin
+        (full_res_3d_viz.py:252-257)."""
+        from deepfluoro_tpu.viz.projective import index_to_physical_matrix
+
+        spacing = np.array([0.5, 0.7, 2.0])
+        origin = np.array([-100.0, 20.0, 5.0])
+        th = 0.3
+        dir_mat = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]
+        )
+        m = index_to_physical_matrix(spacing, dir_mat, origin)
+        idx = np.array([10.0, 20.0, 3.0])
+        expect = dir_mat @ (spacing * idx) + origin
+        np.testing.assert_allclose((m @ np.append(idx, 1.0))[:3], expect, atol=1e-12)
 
     def test_vtk_gated_error(self, fullres_h5):
         from deepfluoro_tpu.viz.projective import view_3d_scene
