@@ -69,17 +69,22 @@ class AsyncCheckpointer:
         self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._thread: threading.Thread | None = None
         self._err: BaseException | None = None
+        # generation tagging: tasks queued before an error surfaced are
+        # permanently stale — once the error is raised to the caller they
+        # must never run, even though _err has been cleared (a copy(src,dst)
+        # queued behind a failed save(src) would otherwise publish the old
+        # src as dst when the caller catches the error and continues)
+        self._gen = 0
+        self._min_gen = 0
 
     def _worker(self):
         while True:
-            task = self._q.get()
+            gen, kind, args, kwargs = self._q.get()
             try:
                 # fail fast: after an error, skip queued tasks until the
-                # error has surfaced to the caller — a copy() queued behind
-                # a failed save() must not publish a stale source file as
-                # the (supposedly newer) destination
-                if self._err is None:
-                    kind, args, kwargs = task
+                # error has surfaced to the caller; after it surfaces, skip
+                # any task from a pre-error generation
+                if self._err is None and gen >= self._min_gen:
                     if kind == "save":
                         save_checkpoint(*args, **kwargs)
                     else:
@@ -94,11 +99,15 @@ class AsyncCheckpointer:
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
-        self._q.put(task)
+        self._q.put((self._gen,) + task)
 
     def _raise_pending(self) -> None:
         if self._err is not None:
             err, self._err = self._err, None
+            # everything queued up to now is stale: drop it even after _err
+            # is cleared by this raise
+            self._gen += 1
+            self._min_gen = self._gen
             raise err
 
     def wait(self) -> None:
@@ -108,17 +117,32 @@ class AsyncCheckpointer:
     def save(self, path: str, **kwargs) -> None:
         if jax.process_index() != 0:
             return  # single-writer (see save_checkpoint); skip snapshot work
-        # device-side copy: jnp arrays are immutable, but the *buffers* get
-        # donated by the next train step, so snapshot before returning. One
-        # jitted dispatch for all trees (an eager per-leaf .copy() is
-        # hundreds of round trips on remote-device transports).
         snap = {
             key: kwargs[key]
             for key in ("params", "batch_stats", "opt_state")
             if kwargs.get(key) is not None
         }
         if snap:
-            kwargs.update(_snapshot(snap))
+            if jax.process_count() > 1:
+                # multi-process state is replicated GLOBAL arrays: a jitted
+                # device copy dispatched from process 0 alone would desync
+                # the pod, so snapshot by synchronous host fetch instead —
+                # reading a fully-replicated array is a local, collective-
+                # free operation, and it completes before the caller's next
+                # step can donate the buffers
+                kwargs.update(
+                    jax.tree.map(
+                        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                        snap,
+                    )
+                )
+            else:
+                # device-side copy: jnp arrays are immutable, but the
+                # *buffers* get donated by the next train step, so snapshot
+                # before returning. One jitted dispatch for all trees (an
+                # eager per-leaf .copy() is hundreds of round trips on
+                # remote-device transports).
+                kwargs.update(_snapshot(snap))
         self._submit(("save", (path,), kwargs))
 
     def copy(self, src: str, dst: str) -> None:

@@ -31,6 +31,7 @@ resume, test_ensemble) treat both formats uniformly.
 from __future__ import annotations
 
 import os
+import shutil
 
 import jax
 import numpy as np
@@ -38,6 +39,18 @@ from flax import serialization
 
 _ARRAYS_SUBDIR = "arrays"
 _META_FILE = "meta.msgpack"
+_CURRENT_FILE = "CURRENT"
+_SLOTS = ("slot0", "slot1")
+
+
+def _read_current(path: str) -> str | None:
+    """Name of the committed slot, or None (legacy/fresh layout)."""
+    try:
+        with open(os.path.join(path, _CURRENT_FILE)) as f:
+            slot = f.read().strip()
+        return slot if slot in _SLOTS else None
+    except FileNotFoundError:
+        return None
 
 
 def _sync(tag: str) -> None:
@@ -93,26 +106,38 @@ def save_sharded_checkpoint(
 
     A collective operation: under ``jax.distributed`` every process must
     call it (each writes its own shards); the metadata sidecar is written by
-    process 0 only. The orbax save finalizes atomically; the metadata write
-    is tmp+rename, and loaders treat a directory without ``meta.msgpack`` as
-    incomplete — together that preserves the reference's atomic-checkpoint
-    contract (train.py:474,515) for the sharded format.
+    process 0 only.
+
+    Atomicity (the reference's contract, train.py:474,515): each save goes
+    into an A/B slot subdirectory (``slot0``/``slot1``) — arrays first, then
+    the metadata sidecar — and only once the slot is complete does process 0
+    atomically repoint the ``CURRENT`` file at it. A crash at ANY point
+    before the pointer flip leaves the previously committed slot (and its
+    matching metadata) untouched; stale half-written slots are replaced by
+    the next save. Re-saving therefore never destroys the last good
+    checkpoint, and arrays can never pair with a mismatched meta.
     """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    arrays_dir = os.path.join(path, _ARRAYS_SUBDIR)
+    # CURRENT is only rewritten at commit time, so every process reads the
+    # same stable value here (shared filesystem — a requirement orbax's
+    # multi-process array write already imposes)
+    cur = _read_current(path)
+    slot = _SLOTS[1] if cur == _SLOTS[0] else _SLOTS[0]
+    slot_dir = os.path.join(path, slot)
     if jax.process_index() == 0:
         os.makedirs(path, exist_ok=True)
-        # a re-save into the same directory replaces the previous arrays
-        if os.path.exists(arrays_dir):
-            import shutil
-
-            shutil.rmtree(arrays_dir)
+        if os.path.exists(slot_dir):  # stale half-written slot from a crash
+            shutil.rmtree(slot_dir)
+        os.makedirs(slot_dir)
     _sync("dir-prepped")
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(arrays_dir, _state_dicts(params, batch_stats, opt_state))
+    ckptr.save(
+        os.path.join(slot_dir, _ARRAYS_SUBDIR),
+        _state_dicts(params, batch_stats, opt_state),
+    )
     ckptr.wait_until_finished()
 
     if jax.process_index() == 0:
@@ -126,11 +151,30 @@ def save_sharded_checkpoint(
             "train-idx": [] if train_idx is None else [int(i) for i in train_idx],
             "valid-idx": [] if valid_idx is None else [int(i) for i in valid_idx],
         }
-        tmp = os.path.join(path, _META_FILE + ".tmp")
+        tmp = os.path.join(slot_dir, _META_FILE + ".tmp")
         with open(tmp, "wb") as f:
             f.write(serialization.msgpack_serialize(payload))
-        os.replace(tmp, os.path.join(path, _META_FILE))
-    _sync("meta-written")
+        os.replace(tmp, os.path.join(slot_dir, _META_FILE))
+    _sync("slot-complete")
+
+    if jax.process_index() == 0:
+        # commit: atomic pointer flip, then garbage-collect the old slot and
+        # any pre-slot-scheme legacy layout
+        tmp = os.path.join(path, _CURRENT_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(slot)
+        os.replace(tmp, os.path.join(path, _CURRENT_FILE))
+        if cur is not None:
+            old = os.path.join(path, cur)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        for legacy in (_ARRAYS_SUBDIR, _META_FILE):
+            p = os.path.join(path, legacy)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.remove(p)
+    _sync("committed")
 
 
 def _abstract_tree(template_state_dict, shardings):
@@ -193,10 +237,14 @@ def load_sharded_checkpoint(
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    meta_path = os.path.join(path, _META_FILE)
+    # slot layout: follow the committed CURRENT pointer; fall back to the
+    # pre-slot legacy layout (arrays/ + meta.msgpack directly under path)
+    cur = _read_current(path)
+    root = path if cur is None else os.path.join(path, cur)
+    meta_path = os.path.join(root, _META_FILE)
     if not os.path.exists(meta_path):
         raise FileNotFoundError(
-            "incomplete sharded checkpoint (no {}): {}".format(_META_FILE, path)
+            "incomplete sharded checkpoint (no {}): {}".format(_META_FILE, root)
         )
     with open(meta_path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
@@ -218,7 +266,7 @@ def load_sharded_checkpoint(
     # shardings passed via the abstract tree alone).
     ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
     restored = ckptr.restore(
-        os.path.join(path, _ARRAYS_SUBDIR),
+        os.path.join(root, _ARRAYS_SUBDIR),
         args=ocp.args.PyTreeRestore(
             item=abstract,
             restore_args=ocp.checkpoint_utils.construct_restore_args(abstract),

@@ -197,8 +197,19 @@ def view_3d_scene(h5_path: str, spec_id: str, proj_index: int = 0) -> None:
             (vol_seg == label).astype(np.uint8).ravel(), deep=True
         )
         img.GetPointData().SetScalars(arr)
+        # the reference flips the image along axis 1 BEFORE marching cubes
+        # (full_res_3d_viz.py:84-89,120-123); that flip and the y_flip
+        # vertex matrix below compose to ~identity (a 2-voxel y offset), so
+        # omitting either one would mirror every mesh along y relative to
+        # the landmarks/poses/detector in the same scene. NOTE: this path is
+        # vtk-gated and has never executed here (vtk not installed); the
+        # surrounding geometry is pinned by closed-form tests instead.
+        flip = vtk.vtkImageFlip()
+        flip.SetInputData(img)
+        flip.SetFilteredAxis(1)
+        flip.Update()
         mc = vtk.vtkMarchingCubes()
-        mc.SetInputData(img)
+        mc.SetInputData(flip.GetOutput())
         mc.SetValue(0, 0.5)
         mapper = vtk.vtkPolyDataMapper()
         mapper.SetInputConnection(mc.GetOutputPort())

@@ -192,10 +192,55 @@ class TestContract:
         _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
         path = str(tmp_path / "ck")
         save_state(path, cfg, state)
-        os.remove(os.path.join(path, "meta.msgpack"))
+        with open(os.path.join(path, "CURRENT")) as f:
+            slot = f.read().strip()
+        os.remove(os.path.join(path, slot, "meta.msgpack"))
         _, tmpl = make_train_state(cfg, jax.random.PRNGKey(1), (32, 32))
         with pytest.raises(FileNotFoundError):
             load_sharded_checkpoint(path, tmpl.params)
+
+    def test_torn_resave_preserves_previous(self, tmp_path):
+        """A crash mid-resave (new slot half-written, CURRENT not yet
+        flipped) must leave the previous checkpoint loadable — the
+        ADVICE r2 atomicity finding."""
+        cfg = small_cfg()
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        path = str(tmp_path / "ck")
+        save_state(path, cfg, state, epoch=7)
+        # simulate the torn second save: the other slot exists with arrays
+        # but no meta, and CURRENT still points at the committed slot
+        with open(os.path.join(path, "CURRENT")) as f:
+            slot = f.read().strip()
+        other = "slot1" if slot == "slot0" else "slot0"
+        os.makedirs(os.path.join(path, other, "arrays"))
+        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(1), (32, 32))
+        out = load_sharded_checkpoint(path, tmpl.params, tmpl.batch_stats, tmpl.opt_state)
+        assert out["epoch"] == 7
+        params = restore_typed(tmpl.params, out["model-state-dict"]["params"])
+        leaves_close(params, state.params)
+        # and the next save reclaims the torn slot
+        save_state(path, cfg, state, epoch=8)
+        out = load_sharded_checkpoint(path, tmpl.params, tmpl.batch_stats, tmpl.opt_state)
+        assert out["epoch"] == 8
+
+    def test_legacy_layout_still_loads(self, tmp_path):
+        """Checkpoints written before the A/B slot scheme (arrays/ + meta
+        directly under the directory) remain readable."""
+        import shutil
+
+        cfg = small_cfg()
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        path = str(tmp_path / "ck")
+        save_state(path, cfg, state, epoch=3)
+        with open(os.path.join(path, "CURRENT")) as f:
+            slot = f.read().strip()
+        for name in ("arrays", "meta.msgpack"):
+            shutil.move(os.path.join(path, slot, name), os.path.join(path, name))
+        shutil.rmtree(os.path.join(path, slot))
+        os.remove(os.path.join(path, "CURRENT"))
+        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(1), (32, 32))
+        out = load_sharded_checkpoint(path, tmpl.params, tmpl.batch_stats, tmpl.opt_state)
+        assert out["epoch"] == 3
 
     def test_resave_overwrites(self, tmp_path):
         cfg = small_cfg()

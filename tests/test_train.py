@@ -412,3 +412,46 @@ class TestAsyncCheckpointer:
         ck.save(good, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=1)
         ck.wait()
         assert load_checkpoint(good)["epoch"] == 1
+
+    def test_stale_tasks_dropped_after_error(self, tmp_path):
+        """Tasks queued BEFORE an error surfaced must never run afterwards:
+        a copy(src, dst) queued behind a failed save(src) would publish the
+        stale src as dst once the caller catches the error and continues
+        (ADVICE r2 finding)."""
+        import threading
+        from deepfluoro_tpu.train.checkpoint import AsyncCheckpointer, save_checkpoint
+
+        cfg = small_cfg(depth=2, init_feats_exp=2, num_lands=0, batch_norm=False)
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        src, dst = str(tmp_path / "ck.pt"), str(tmp_path / "best.pt")
+        # a stale epoch-0 src sits on disk from an earlier save
+        save_checkpoint(src, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=0)
+
+        # max_pending > 3: all three tasks must queue against the gated
+        # worker without _submit blocking on the bounded queue
+        ck = AsyncCheckpointer(max_pending=8)
+        # hold the worker so all three tasks are queued before any runs
+        gate = threading.Event()
+        orig_worker = ck._worker
+
+        def gated_worker():
+            gate.wait()
+            orig_worker()
+
+        ck._worker = gated_worker
+        bad = str(tmp_path / "no_such_dir" / "x.pt")
+        ck.save(bad, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=9)
+        ck.save(src, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=9)
+        ck.copy(src, dst)
+        gate.set()
+        with pytest.raises(Exception):
+            ck.wait()
+        # the pre-error epoch-9 save of src and the copy were both dropped:
+        # dst must not exist (publishing stale epoch-0 would be wrong too)
+        assert not os.path.exists(dst)
+        assert load_checkpoint(src)["epoch"] == 0
+        # new work after the surfaced error runs normally
+        ck.save(src, meta=cfg.to_checkpoint_meta(), params=state.params, epoch=10)
+        ck.copy(src, dst)
+        ck.wait()
+        assert load_checkpoint(dst)["epoch"] == 10
