@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stream-data", help="Keep the dataset in host memory and double-buffer batches to the device (for archives too large for HBM, e.g. full-res); default keeps the dataset device-resident", action="store_true")
     parser.add_argument("--bf16", help="Use bfloat16 compute on TPU (float32 params)", action="store_true")
     parser.add_argument("--seed", help="random seed", type=int, default=0)
+    parser.add_argument("--dp-devices", help="shard each batch over this many devices (data parallelism); 0 = all devices when any parallel flag is active, 1 = off", type=int, default=1)
+    parser.add_argument("--spatial-devices", help="also shard image rows over this many devices (for large-resolution training); composes with --dp-devices on one 2-D mesh", type=int, default=1)
+    parser.add_argument("--num-processes", help="total process count for multi-host (pod) training; run one process per host with the same flags", type=int, default=0)
+    parser.add_argument("--process-id", help="this process's index in [0, --num-processes)", type=int, default=None)
+    parser.add_argument("--coordinator", help="multi-host coordinator address host:port (jax.distributed)", type=str, default=None)
     parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
     parser.add_argument("--debug-nans", help="Fault on the first NaN-producing op (jax_debug_nans)", action="store_true")
     return parser
@@ -80,6 +85,31 @@ def main(argv=None):
 
     select_platform(no_gpu=args.no_gpu)
     enable_compilation_cache()
+
+    # multi-host entry: join the pod BEFORE any device query (SURVEY §2.3
+    # comm-backend row — jax.distributed is the NCCL/MPI equivalent)
+    if args.num_processes and args.num_processes > 1:
+        from deepfluoro_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+
+    mesh = None
+    if args.dp_devices != 1 or args.spatial_devices > 1 or (
+        args.num_processes and args.num_processes > 1
+    ):
+        import jax
+
+        from deepfluoro_tpu.parallel import make_mesh
+
+        sp = max(1, args.spatial_devices)
+        dp = args.dp_devices
+        if dp <= 0:  # default: data parallelism over every remaining device
+            dp = len(jax.devices()) // sp
+        axes = {"data": dp}
+        if sp > 1:
+            axes["spatial"] = sp
+        mesh = make_mesh(axes, devices=jax.devices()[: dp * sp])
+        print("device mesh: {}".format(dict(zip(mesh.axis_names, mesh.devices.shape))), flush=True)
 
     # the reference leaves --num-classes default-less and crashes deep inside
     # torch when omitted; fail loudly at the CLI boundary instead
@@ -154,6 +184,8 @@ def main(argv=None):
             train_loss_txt=args.train_loss_txt,
             valid_loss_txt=args.valid_loss_txt,
             stream_data=args.stream_data,
+            mesh=mesh,
+            shard_spatial=args.spatial_devices > 1,
         )
 
 

@@ -38,12 +38,18 @@ class PrefetchIterator:
         shuffle: bool = True,
         seed: int = 0,
         prefetch: int = 2,
+        sharding=None,
     ):
+        """``sharding`` (optional jax.sharding.Sharding, e.g. batch-axis over
+        a mesh's 'data' axis) places each prefetched batch directly onto the
+        mesh instead of the default device — single-process mesh training
+        streams through this."""
         assert prefetch >= 1
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
+        self.sharding = sharding
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -61,6 +67,24 @@ class PrefetchIterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _make_put(batch_len: int):
+            if self.sharding is None:
+                return jax.device_put
+            sharding = self.sharding
+            try:
+                sharding.shard_shape((batch_len,) + self.data.projs.shape[1:])
+            except ValueError:
+                # final partial batch not divisible over the sharding's batch
+                # axis: place it fully replicated instead — the consuming
+                # step's in-program sharding constraint redistributes it
+                # (GSPMD allows uneven partitions in compiled programs; only
+                # device_put is strict), so training parity is preserved
+                # without dropping the tail
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                sharding = NamedSharding(sharding.mesh, PartitionSpec())
+            return lambda x: jax.device_put(x, sharding)
+
         def produce():
             try:
                 for start in range(0, n, self.batch_size):
@@ -69,14 +93,15 @@ class PrefetchIterator:
                     idx = order[start : start + self.batch_size]
                     # device_put is asynchronous: it returns immediately and
                     # the transfer proceeds while the consumer computes
-                    projs = jax.device_put(self.data.projs[idx])
+                    put = _make_put(len(idx))
+                    projs = put(self.data.projs[idx])
                     segs = (
                         None if self.data.segs is None
-                        else jax.device_put(self.data.segs[idx])
+                        else put(self.data.segs[idx])
                     )
                     lands = (
                         None if self.data.lands is None
-                        else jax.device_put(self.data.lands[idx])
+                        else put(self.data.lands[idx])
                     )
                     q.put((projs, segs, lands))
                 q.put(None)

@@ -55,6 +55,31 @@ def local_shard_indices(n_examples: int, seed: int, epoch: int) -> np.ndarray:
     return perm[:n_even][jax.process_index()::p]
 
 
+def local_batch_slice(global_idx: np.ndarray) -> np.ndarray:
+    """This process's contiguous slice of one global batch's index list.
+
+    ``jax.make_array_from_process_local_data`` lays process p's rows at
+    global batch positions ``[p*b_local, (p+1)*b_local)`` for a batch-axis-
+    over-'data' sharding (jax orders devices process-contiguously), so
+    contiguous chunking reproduces EXACTLY the single-process batch layout —
+    multi-host training matches the single-host run sample-for-sample
+    (tests/test_multiprocess.py pins the loss parity). Contrast with
+    ``local_shard_indices``, which assigns disjoint example SETS per host
+    (scalable per-host loading, different batch composition).
+
+    The caller must hand every process the identical ``global_idx`` (derive
+    it from a shared seed) with length divisible by the process count.
+    """
+    p = jax.process_count()
+    b = int(global_idx.shape[0])
+    assert b % p == 0, (
+        "global batch of {} does not split over {} processes".format(b, p)
+    )
+    bl = b // p
+    i = jax.process_index()
+    return global_idx[i * bl : (i + 1) * bl]
+
+
 def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray, spec: P | None = None):
     """Assemble the global sharded array from this process's local slice of
     the batch. spec defaults to batch-axis over 'data'."""

@@ -52,20 +52,36 @@ def _padded_dim(orig_dim: int, pad_dim: int) -> int:
     return orig_dim
 
 
-def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None):
+def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None, mesh=None):
     """Per-image losses over a dataset -> (mean, std). Matches the reference's
     batch-1 no-grad loop (util.py:116-165) but batched on device; std follows
     torch.std's N-1 normalization.
 
     Pass a pre-built (device-resident) BatchIterator via ``iterator`` when
     calling repeatedly — building one here re-uploads the dataset each call.
+
+    With ``mesh`` (state replicated on a device mesh, possibly spanning
+    processes) each batch is placed fully replicated and every device/process
+    evaluates it redundantly — identical results everywhere, exact
+    reference semantics for arbitrary validation-set sizes (no drop-tail),
+    and the cost is negligible at validation scale. Under jax.distributed
+    all processes must call this in lockstep.
     """
+    repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
     losses = []
     it = iterator if iterator is not None else BatchIterator(data, batch_size=batch_size, shuffle=False)
     for bi, (projs, segs, lands) in enumerate(it.epoch()):
         # independent key per batch — reusing one key would correlate the
         # augmentation draws across batches if anyone evaluates with aug on
         bkey = jax.random.fold_in(key, bi)
+        if repl is not None:
+            projs = jax.device_put(np.asarray(projs), repl)
+            segs = None if segs is None else jax.device_put(np.asarray(segs), repl)
+            lands = None if lands is None else jax.device_put(np.asarray(lands), repl)
         prepared = prepare_batch(aug_cfg, bkey, projs, segs, lands)
         per_sample = eval_step(
             state, prepared["proj"], prepared["seg"], prepared.get("heats")
@@ -87,6 +103,8 @@ def fit(
     valid_loss_txt: str = "valid_loss.txt",
     verbose: bool = True,
     stream_data: bool = False,
+    mesh=None,
+    shard_spatial: bool = False,
 ):
     """Train a network; returns dict(state=..., cfg=..., best_valid_loss=...).
 
@@ -98,11 +116,44 @@ def fit(
     variant of the fused step) — for archives too large for HBM (full-res /
     2x training). The default device-resident mode is faster when the data
     fits: one dispatch per step with zero per-step H2D transfers.
+
+    ``mesh`` (a jax.sharding.Mesh, e.g. parallel.make_mesh({'data': 4,
+    'spatial': 2})) scales this SAME loop across chips: parameters/optimizer
+    state replicate, each batch is sharded over the 'data' axis (and image
+    rows over 'spatial' with ``shard_spatial=True``), and XLA emits the
+    gradient all-reduce over ICI — SURVEY §2.3's primary scaling axis, wired
+    into the flagship path. Losses/params match the single-device run
+    exactly (tests/test_train_mesh.py). Under jax.distributed (multi-host;
+    cli/train.py --num-processes) every process runs fit() in lockstep:
+    batches are assembled from per-process contiguous slices
+    (parallel.multihost.local_batch_slice + global_batch_from_local), so the
+    global batch sequence — and therefore the training trajectory — is
+    sample-identical to the single-host run; process 0 alone writes
+    checkpoints and loss logs. Multi-host requires the global batch size to
+    split evenly over processes; an indivisible final partial batch is
+    dropped (logged once).
     """
 
     def log(msg):
-        if verbose:
+        if verbose and jax.process_index() == 0:
             print(msg, flush=True)
+
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        assert mesh is not None, (
+            "multi-process fit() requires a device mesh (--dp-devices / "
+            "--spatial-devices with --num-processes)"
+        )
+        assert cfg.batch_size % int(mesh.shape["data"]) == 0, (
+            "multi-host training assembles each global batch strictly evenly "
+            "over the 'data' axis: batch_size {} must be divisible by the "
+            "{}-way data axis".format(cfg.batch_size, int(mesh.shape["data"]))
+        )
+    repl = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
 
     # ----- resume -------------------------------------------------------
     train_idx = valid_idx = None
@@ -204,35 +255,79 @@ def fit(
         epoch = int(prev["epoch"])
         del prev
 
+    if repl is not None:
+        # replicate the (possibly restored) state onto the mesh; every
+        # sharded step keeps it replicated via out_shardings
+        state = jax.device_put(state, repl)
+
     eval_step = make_eval_step(
         cfg, model, num_lands_for_loss=0 if cfg.use_dice_valid else None
     )
 
-    if stream_data:
+    # three feed modes share the per-epoch loop below:
+    #   resident  — dataset in HBM, fused gather step (fastest; default)
+    #   stream    — host-resident dataset, double-buffered H2D
+    #   multihost — every process feeds its contiguous slice of each global
+    #               batch (the pod path: per-host H2D bandwidth scales)
+    feed_mode = "multihost" if multiproc else ("stream" if stream_data else "resident")
+    fused_step = stream_step = train_stream = None
+    projs_all = segs_all = lands_all = None
+    if feed_mode == "stream":
         from deepfluoro_tpu.data.pipeline import PrefetchIterator
         from deepfluoro_tpu.train.step import make_streaming_train_step
 
-        stream_step = make_streaming_train_step(cfg, model, tx, aug_train)
+        stream_step = make_streaming_train_step(
+            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial
+        )
+        batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sharding = NamedSharding(
+                mesh, P("data" if "data" in mesh.axis_names else None)
+            )
         train_stream = PrefetchIterator(
-            train_data, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed + 1
+            train_data, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed + 1,
+            sharding=batch_sharding,
         )
-        valid_iter = PrefetchIterator(
-            valid_data, batch_size=cfg.batch_size, shuffle=False
+    elif feed_mode == "multihost":
+        from deepfluoro_tpu.train.step import make_streaming_train_step
+
+        stream_step = make_streaming_train_step(
+            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial
         )
-        projs_all = segs_all = lands_all = None
-        shuffle_rng = None
+        shuffle_rng = np.random.default_rng(cfg.seed + 1)
     else:
-        fused_step = make_fused_train_step(cfg, model, tx, aug_train)
+        fused_step = make_fused_train_step(
+            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial
+        )
         # dataset resident on device once; each step is ONE dispatch gathering
-        # its batch by index inside the fused program
-        projs_all = jnp.asarray(train_data.projs)
-        segs_all = None if train_data.segs is None else jnp.asarray(train_data.segs)
-        lands_all = None if train_data.lands is None else jnp.asarray(train_data.lands)
+        # its batch by index inside the fused program. On a mesh the arrays
+        # replicate so every device gathers its own batch shard locally.
+        def _put(x):
+            if x is None:
+                return None
+            return jnp.asarray(x) if repl is None else jax.device_put(np.asarray(x), repl)
+
+        projs_all = _put(train_data.projs)
+        segs_all = _put(train_data.segs)
+        lands_all = _put(train_data.lands)
         shuffle_rng = np.random.default_rng(cfg.seed + 1)
 
-        # validation set uploaded once as well (evaluate() runs every epoch)
+    if feed_mode == "stream":
+        from deepfluoro_tpu.data.pipeline import PrefetchIterator
+
+        valid_iter = PrefetchIterator(
+            valid_data, batch_size=cfg.batch_size, shuffle=False
+        ) if mesh is None else BatchIterator(
+            valid_data, batch_size=cfg.batch_size, shuffle=False, device_resident=False
+        )
+    else:
+        # validation batches: device-resident upload once, except on a mesh
+        # where evaluate() places each batch replicated itself
         valid_iter = BatchIterator(
-            valid_data, batch_size=cfg.batch_size, shuffle=False, device_resident=True
+            valid_data, batch_size=cfg.batch_size, shuffle=False,
+            device_resident=mesh is None,
         )
 
     checkpointer = AsyncCheckpointer()
@@ -300,7 +395,7 @@ def fit(
                     running_loss = 0.0
             pending_losses.clear()
 
-        if stream_data:
+        if feed_mode == "stream":
             batches = enumerate(train_stream.epoch())
         else:
             order = np.arange(train_ds_len)
@@ -313,12 +408,50 @@ def fit(
             else:
                 lr = cfg.init_lr
 
-            if stream_data:
+            if feed_mode == "stream":
                 projs_b, segs_b, lands_b = item
                 bsize = int(projs_b.shape[0])
                 state, loss = stream_step(
                     state, projs_b, segs_b, lands_b,
                     epoch * train_ds_len + bi * cfg.batch_size, lr,
+                )
+            elif feed_mode == "multihost":
+                from deepfluoro_tpu.parallel.multihost import (
+                    global_batch_from_local,
+                    local_batch_slice,
+                )
+
+                gidx = order[item : item + cfg.batch_size]
+                bsize = int(gidx.shape[0])
+                # the explicit cross-process batch assembly
+                # (make_array_from_process_local_data) requires the global
+                # batch to split EVENLY over the whole 'data' axis — unlike
+                # the in-program sharding constraints of the single-process
+                # paths, which tolerate uneven partitions
+                data_size = int(mesh.shape["data"])
+                if bsize % data_size != 0:
+                    # indivisible final partial batch: every device must
+                    # receive an equal slice, so it is dropped (the
+                    # epoch-dependent shuffle rotates which examples)
+                    log("    skipping {}-example tail batch (not divisible "
+                        "over the {}-way data axis)".format(bsize, data_size))
+                    num_examples_run += bsize
+                    if lr_sched is not None and lrs_is_cos:
+                        lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
+                    continue
+                lidx = local_batch_slice(gidx)
+                projs_b = global_batch_from_local(mesh, train_data.projs[lidx])
+                segs_b = (
+                    None if train_data.segs is None
+                    else global_batch_from_local(mesh, train_data.segs[lidx])
+                )
+                lands_b = (
+                    None if train_data.lands is None
+                    else global_batch_from_local(mesh, train_data.lands[lidx])
+                )
+                state, loss = stream_step(
+                    state, projs_b, segs_b, lands_b,
+                    epoch * train_ds_len + item, lr,
                 )
             else:
                 idx = order[item : item + cfg.batch_size]
@@ -343,7 +476,7 @@ def fit(
         rng, vkey = jax.random.split(rng)
         avg_valid_loss, std_valid_loss = evaluate(
             eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey,
-            iterator=valid_iter,
+            iterator=valid_iter, mesh=mesh,
         )
         if valid_loss_out is not None:
             valid_loss_out.write(avg_valid_loss)

@@ -186,7 +186,44 @@ def make_train_step(cfg: TrainConfig, model, tx):
     return train_step
 
 
-def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
+def _make_batch_constrainers(mesh, spatial: bool):
+    """(pre_aug, post_aug) constraint fns pinning how the in-program batch is
+    partitioned over the mesh. pre_aug shards only the batch axis over
+    'data' (so the vmapped augmentation splits across devices but each
+    sample's warp stays whole on one device); post_aug additionally shards
+    the image H axis over 'spatial' — the network compute is where spatial
+    partitioning pays, and the GSPMD partitioner inserts the conv halo
+    exchanges (verified exact at depth 6 in tests/test_parallel.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data = "data" if "data" in mesh.axis_names else None
+    sp = "spatial" if (spatial and "spatial" in mesh.axis_names) else None
+
+    def constrain(x, with_spatial):
+        if x is None:
+            return None
+        spec = [None] * x.ndim
+        spec[0] = data
+        if with_spatial and x.ndim >= 3:
+            spec[1] = sp
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+    pre_aug = lambda x: constrain(x, False)
+    post_aug = lambda x: constrain(x, True)
+    return pre_aug, post_aug
+
+
+def _replicated_out_jit_kwargs(mesh) -> dict:
+    """out_shardings pinning (state, loss) replicated over the mesh — the
+    gradient all-reduce already produces identical updates everywhere; the
+    pin keeps the partitioner from inventing a weight layout that would
+    reshard on every host read (checkpointing, loss fetch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return {"out_shardings": NamedSharding(mesh, P())}
+
+
+def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spatial=False):
     """One-dispatch-per-step training: batch gather from the device-resident
     dataset, PRNG fold-in, the full augmentation pipeline, and the train
     step fused into a single jitted program.
@@ -197,48 +234,83 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg):
     host boundary. This collapses the ~6 device dispatches per step of the
     naive loop — significant on remote/tunneled devices where each dispatch
     pays an RTT, and it lets XLA schedule augmentation and forward together.
+
+    With ``mesh`` the same single program scales across chips (SURVEY §2.3
+    names DP the primary scaling axis — the reference's analogous lever is
+    its DataLoader worker pool, train.py:293-296): the dataset arrays and
+    state live replicated on the mesh, and sharding constraints split the
+    gathered batch over 'data' (and, with ``spatial=True``, the image rows
+    over 'spatial') so the partitioner distributes augmentation + fwd/bwd
+    and emits the gradient all-reduce. State and loss come back replicated.
     """
     from deepfluoro_tpu.data.augment import prepare_batch
 
     loss_fn = make_loss_fn(cfg, model)
+    if mesh is not None:
+        pre_aug, post_aug = _make_batch_constrainers(mesh, spatial)
+        jit_kwargs = _replicated_out_jit_kwargs(mesh)
+    else:
+        pre_aug = post_aug = lambda x: x
+        jit_kwargs = {}
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def fused(state: TrainState, projs_all, segs_all, lands_all, idx, step_seed, lr):
-        projs = jnp.take(projs_all, idx, axis=0)
-        segs = jnp.take(segs_all, idx, axis=0) if segs_all is not None else None
-        lands = jnp.take(lands_all, idx, axis=0) if lands_all is not None else None
+        projs = pre_aug(jnp.take(projs_all, idx, axis=0))
+        segs = pre_aug(jnp.take(segs_all, idx, axis=0)) if segs_all is not None else None
+        lands = pre_aug(jnp.take(lands_all, idx, axis=0)) if lands_all is not None else None
 
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step_seed)
         prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
 
         return grad_and_update(
             loss_fn, tx, state,
-            prepared["proj"], prepared.get("seg"), prepared.get("heats"), lr,
+            post_aug(prepared["proj"]),
+            post_aug(prepared.get("seg")),
+            post_aug(prepared.get("heats")),
+            lr,
         )
 
     return fused
 
 
-def make_streaming_train_step(cfg: TrainConfig, model, tx, aug_cfg):
+def make_streaming_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spatial=False):
     """Train step for HOST-resident datasets (too large for HBM): consumes a
     raw streamed batch instead of gathering from device-resident arrays, but
     still fuses augmentation + forward/backward + update into one dispatch.
     Pair with data.pipeline.PrefetchIterator so the next batch's H2D
     transfer overlaps this step's compute.
 
+    With ``mesh`` the streamed batch is processed sharded over 'data' (and
+    optionally 'spatial'), with state replicated — this is the multi-host
+    training path: each process feeds its contiguous slice of the global
+    batch (parallel.multihost.global_batch_from_local) and XLA reduces
+    gradients over ICI/DCN.
+
     Signature: step(state, projs (B,H,W), segs, lands, step_seed, lr)
     -> (state, loss)."""
     from deepfluoro_tpu.data.augment import prepare_batch
 
     loss_fn = make_loss_fn(cfg, model)
+    if mesh is not None:
+        pre_aug, post_aug = _make_batch_constrainers(mesh, spatial)
+        jit_kwargs = _replicated_out_jit_kwargs(mesh)
+    else:
+        pre_aug = post_aug = lambda x: x
+        jit_kwargs = {}
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, donate_argnums=(0,), **jit_kwargs)
     def step(state: TrainState, projs, segs, lands, step_seed, lr):
+        projs = pre_aug(projs)
+        segs = pre_aug(segs) if segs is not None else None
+        lands = pre_aug(lands) if lands is not None else None
         key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step_seed)
         prepared = prepare_batch(aug_cfg, key, projs, segs, lands)
         return grad_and_update(
             loss_fn, tx, state,
-            prepared["proj"], prepared.get("seg"), prepared.get("heats"), lr,
+            post_aug(prepared["proj"]),
+            post_aug(prepared.get("seg")),
+            post_aug(prepared.get("heats")),
+            lr,
         )
 
     return step

@@ -115,3 +115,83 @@ def test_two_process_distributed_step(tmp_path):
         0.1,
     )
     assert float(loss_ref) == pytest.approx(loss0, abs=2e-6)
+
+
+@pytest.mark.slow
+def test_two_process_fit_end_to_end(tmp_path):
+    """The FLAGSHIP loop (train.loop.fit) across two real jax.distributed
+    processes: identical global losses on both, single-writer checkpoints,
+    and the training trajectory sample-identical to a single-process run
+    (the contiguous-chunk batch assembly guarantees the same global batch
+    sequence)."""
+    from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+
+    h5 = str(tmp_path / "synthetic.h5")
+    write_synthetic_dataset(h5, num_specimens=3, num_projs=8, img_dim=32)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mh_fit_worker.py"),
+             str(pid), "2", str(port), str(tmp_path), h5],
+            env=env, cwd=os.path.dirname(TESTS_DIR),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    def grab(out, tag):
+        return [l.split() for l in out.splitlines() if l.startswith(tag)]
+
+    # both processes finished 2 epochs and observed the identical global
+    # validation loss and final parameters
+    assert grab(outs[0], "FIT_EPOCH")[0][2] == grab(outs[1], "FIT_EPOCH")[0][2] == "2"
+    bvl0 = float(grab(outs[0], "FIT_BVL")[0][2])
+    bvl1 = float(grab(outs[1], "FIT_BVL")[0][2])
+    assert bvl0 == bvl1
+    sum0 = float(grab(outs[0], "FIT_SUM")[0][2])
+    sum1 = float(grab(outs[1], "FIT_SUM")[0][2])
+    assert sum0 == pytest.approx(sum1, rel=1e-7)
+
+    # single-writer artifacts exist exactly once (written by process 0)
+    assert os.path.exists(tmp_path / "fit_mh_ck.pt")
+    assert os.path.exists(tmp_path / "fit_mh_best.pt")
+    mh_tl = [float(x) for x in open(tmp_path / "fit_mh_tl.txt")]
+    mh_vl = [float(x) for x in open(tmp_path / "fit_mh_vl.txt")]
+    assert len(mh_vl) == 2
+
+    # the 2-process run is trajectory-identical to a single-process fit()
+    from deepfluoro_tpu.train import TrainConfig, fit
+
+    cfg = TrainConfig(
+        num_classes=7, batch_size=4, proj_unet_dim=36, depth=2, init_feats_exp=3,
+        batch_norm=True, padding=True, no_max_pool=True, num_lands=14,
+        optim_type="sgd", init_lr=0.05, momentum=0.9, nesterov=True, wgt_decay=1e-4,
+        lr_sched_meth="plateau", max_num_epochs=2, heat_coeff=0.5,
+        train_valid_split=0.75, data_aug=False, checkpoint_freq=1, seed=0,
+    )
+    out1 = fit(
+        h5, [1, 2], cfg,
+        checkpoint_filename=str(tmp_path / "fit_1p_ck.pt"),
+        best_valid_filename=str(tmp_path / "fit_1p_best.pt"),
+        train_loss_txt=str(tmp_path / "fit_1p_tl.txt"),
+        valid_loss_txt=str(tmp_path / "fit_1p_vl.txt"),
+        verbose=False,
+    )
+    tl1 = [float(x) for x in open(tmp_path / "fit_1p_tl.txt")]
+    vl1 = [float(x) for x in open(tmp_path / "fit_1p_vl.txt")]
+    np.testing.assert_allclose(mh_tl, tl1, rtol=1e-5)
+    np.testing.assert_allclose(mh_vl, vl1, rtol=1e-5)
+    sum_1p = float(
+        sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(out1["state"].params))
+    )
+    assert sum0 == pytest.approx(sum_1p, rel=1e-6)
