@@ -82,8 +82,10 @@ def reflect_pad_to(img: jnp.ndarray, padded_dim: int, spatial_axes: tuple[int, i
 
 def znorm(img: jnp.ndarray) -> jnp.ndarray:
     """Zero-mean/unit-std normalization over the whole array
-    (reference dataset.py:292-293)."""
-    return (img - jnp.mean(img)) / jnp.std(img)
+    (reference dataset.py:292-293). torch.std() applies Bessel's N-1
+    correction, so ddof=1 here — the golden parity suite
+    (tests/test_reference_golden.py) caught the ddof=0 mismatch."""
+    return (img - jnp.mean(img)) / jnp.std(img, ddof=1)
 
 
 # ---------------------------------------------------------------------------

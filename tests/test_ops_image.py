@@ -80,10 +80,12 @@ class TestReflectPad:
 
 class TestNorms:
     def test_znorm(self, rng):
+        # torch.std() semantics: Bessel N-1 correction (reference
+        # dataset.py:293) — pinned by tests/test_reference_golden.py too
         x = rng.random((16, 16)).astype(np.float32) * 50 + 3
         out = np.asarray(znorm(jnp.asarray(x)))
         assert abs(out.mean()) < 1e-4
-        assert out.std() == pytest.approx(1.0, abs=1e-3)
+        assert out.std(ddof=1) == pytest.approx(1.0, abs=1e-4)
 
 class TestAffine:
     @staticmethod
