@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--train-loss-prefix", help="Prefix for per-fold train loss txt files ('' disables)", type=str, default="")
     parser.add_argument("--valid-loss-prefix", help="Prefix for per-fold valid loss txt files ('' disables)", type=str, default="")
     parser.add_argument("--ensemble-devices", help="shard the fold axis over this many devices (an 'ensemble' mesh axis); 0 = single device", type=int, default=0)
+    parser.add_argument("--save-restart-net", help="Prefix for per-fold pre-warm-restart snapshots <prefix>_specXX_RR.pt (cos schedule)", type=str, default="")
+    parser.add_argument("--save-after-n-restarts", help="Only save pre-restart snapshots once this many restarts have happened", type=int, default=0)
+    parser.add_argument("--stream-data", help="Keep the union dataset in host memory and stream prefetched per-fold batches to the device (for archives too large for HBM, e.g. full-res); default keeps the union device-resident", action="store_true")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-gpu", action="store_true")
@@ -126,6 +129,8 @@ def main(argv=None):
         train_valid_split=args.train_valid_split,
         checkpoint_freq=args.checkpoint_freq,
         light_best_nets=args.light_best_nets,
+        save_restart_net_prefix=args.save_restart_net or None,
+        save_after_n_restarts=args.save_after_n_restarts,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
@@ -153,6 +158,7 @@ def main(argv=None):
         train_loss_txt_prefix=args.train_loss_prefix or None,
         valid_loss_txt_prefix=args.valid_loss_prefix or None,
         mesh=mesh,
+        stream_data=args.stream_data,
     )
     for k, p in enumerate(pats):
         print(
