@@ -91,7 +91,13 @@ def _maybe_shard_over_folds(mesh, fn, num_array_args: int):
     shard_map over the 'ensemble' mesh axis. Folds are fully independent, so
     each device simply runs its K/n folds' vmapped program — no collectives.
     (GSPMD alone mispartitions the grouped convs a vmapped ensemble lowers
-    to; see parallel/sharding.py — shard_map sidesteps that.)"""
+    to; see parallel/sharding.py — shard_map sidesteps that.)
+
+    The positional specs assume the (stacked_state, 3 dataset arrays,
+    per-fold arrays) calling convention of both step builders. A None
+    dataset array (archive without lands) is an EMPTY pytree, so its spec
+    maps over zero leaves and the shard_map boundary passes it through —
+    pinned by tests/test_multifold.py::test_sharded_multifold_without_lands."""
     from jax.sharding import PartitionSpec as P
     fold_spec = P("ensemble")
     # stacked_state + 3 dataset arrays (replicated) + per-fold arrays

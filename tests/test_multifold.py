@@ -178,6 +178,39 @@ class TestFitMultifold:
             rtol=2e-4,
         )
 
+    def test_sharded_multifold_without_lands(self, tmp_path):
+        """Sharded fit_multifold on an archive with NO landmark data: the
+        lands_all argument is None all the way into the shard_map'd step
+        (None is an empty pytree, so its fold-axis spec maps over zero
+        leaves). Pins the spec/pytree combination VERDICT r2 flagged as
+        untested and asserts parity with the unsharded run."""
+        import h5py
+        from deepfluoro_tpu.parallel import make_mesh
+
+        h5p4 = write_synthetic_dataset(
+            str(tmp_path / "dsl.h5"), num_specimens=4, num_projs=6, img_dim=32
+        )
+        with h5py.File(h5p4, "a") as f:
+            for s in ("01", "02", "03", "04"):
+                del f[s]["lands"]
+        cfg = mf_cfg(max_num_epochs=1, num_lands=0)
+        mesh = make_mesh({"ensemble": 4}, devices=jax.devices()[:4])
+
+        out_plain = fit_multifold(
+            h5p4, [1, 2, 3, 4], cfg,
+            checkpoint_prefix=str(tmp_path / "pck"), best_prefix=str(tmp_path / "pb"),
+            verbose=False,
+        )
+        out_shard = fit_multifold(
+            h5p4, [1, 2, 3, 4], cfg,
+            checkpoint_prefix=str(tmp_path / "sck"), best_prefix=str(tmp_path / "sb"),
+            mesh=mesh, verbose=False,
+        )
+        np.testing.assert_allclose(
+            out_shard["best_valid_losses"], out_plain["best_valid_losses"],
+            rtol=2e-4,
+        )
+
 
 def test_train_folds_cli_end_to_end(tmp_path, h5p):
     """train_folds CLI -> per-fold best checkpoints -> test_ensemble consumes."""
