@@ -101,14 +101,29 @@ def main(argv=None):
 
         from deepfluoro_tpu.parallel import make_mesh
 
+        multiproc = bool(args.num_processes and args.num_processes > 1)
         sp = max(1, args.spatial_devices)
         dp = args.dp_devices
-        if dp <= 0:  # default: data parallelism over every remaining device
+        if dp <= 0 or (multiproc and dp == 1 and sp == 1):
+            # default: data parallelism over every remaining device. Also
+            # applied when multi-host is requested without an explicit
+            # parallelism layout — a {'data': 1} mesh over one of process
+            # 0's devices cannot span the pod and would fail deep inside
+            # the cross-process batch assembly
             dp = len(jax.devices()) // sp
         axes = {"data": dp}
         if sp > 1:
             axes["spatial"] = sp
         mesh = make_mesh(axes, devices=jax.devices()[: dp * sp])
+        if multiproc:
+            procs_on_mesh = {d.process_index for d in mesh.devices.flat}
+            assert len(procs_on_mesh) == jax.process_count(), (
+                "the {}x{} device mesh spans only {} of {} processes — every "
+                "process must own mesh devices (it feeds its slice of each "
+                "global batch); raise --dp-devices/--spatial-devices".format(
+                    dp, sp, len(procs_on_mesh), jax.process_count()
+                )
+            )
         print("device mesh: {}".format(dict(zip(mesh.axis_names, mesh.devices.shape))), flush=True)
 
     # the reference leaves --num-classes default-less and crashes deep inside

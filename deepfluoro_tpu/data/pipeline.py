@@ -20,6 +20,48 @@ import jax.numpy as jnp
 from deepfluoro_tpu.data.hdf5 import FluoroData
 
 
+def prefetch_sequence(make_item, num_items: int, prefetch: int = 2):
+    """Producer-thread prefetch over ``make_item(i) for i in
+    range(num_items)``: host work + (async) device_put inside ``make_item``
+    for the next items overlap the consumer's compute, through a bounded
+    queue (at most ``prefetch`` items live ahead). Producer errors re-raise
+    on the consumer; breaking out of the generator stops and joins the
+    producer. Shared machinery of PrefetchIterator.epoch and the multifold
+    streaming path (train/multifold.py)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for i in range(num_items):
+                if stop.is_set():
+                    return
+                q.put(make_item(i))
+            q.put(None)
+        except BaseException as e:  # surface producer errors to consumer
+            q.put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked producer can observe the stop flag
+        while not q.empty():
+            q.get_nowait()
+        t.join()
+
+
 class PrefetchIterator:
     """Double-buffered host->device streaming behind the BatchIterator API.
 
@@ -56,16 +98,10 @@ class PrefetchIterator:
         return -(-len(self.data) // self.batch_size)
 
     def epoch(self):
-        import queue
-        import threading
-
         n = len(self.data)
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
 
         def _make_put(batch_len: int):
             if self.sharding is None:
@@ -85,45 +121,17 @@ class PrefetchIterator:
                 sharding = NamedSharding(sharding.mesh, PartitionSpec())
             return lambda x: jax.device_put(x, sharding)
 
-        def produce():
-            try:
-                for start in range(0, n, self.batch_size):
-                    if stop.is_set():
-                        return
-                    idx = order[start : start + self.batch_size]
-                    # device_put is asynchronous: it returns immediately and
-                    # the transfer proceeds while the consumer computes
-                    put = _make_put(len(idx))
-                    projs = put(self.data.projs[idx])
-                    segs = (
-                        None if self.data.segs is None
-                        else put(self.data.segs[idx])
-                    )
-                    lands = (
-                        None if self.data.lands is None
-                        else put(self.data.lands[idx])
-                    )
-                    q.put((projs, segs, lands))
-                q.put(None)
-            except BaseException as e:  # surface producer errors to consumer
-                q.put(e)
+        def make_batch(i):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            # device_put is asynchronous: it returns immediately and the
+            # transfer proceeds while the consumer computes
+            put = _make_put(len(idx))
+            projs = put(self.data.projs[idx])
+            segs = None if self.data.segs is None else put(self.data.segs[idx])
+            lands = None if self.data.lands is None else put(self.data.lands[idx])
+            return projs, segs, lands
 
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            # drain so a blocked producer can observe the stop flag
-            while not q.empty():
-                q.get_nowait()
-            t.join()
+        return prefetch_sequence(make_batch, len(self), prefetch=self.prefetch)
 
 
 class BatchIterator:

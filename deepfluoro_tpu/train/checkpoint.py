@@ -103,11 +103,15 @@ class AsyncCheckpointer:
 
     def _raise_pending(self) -> None:
         if self._err is not None:
-            err, self._err = self._err, None
             # everything queued up to now is stale: drop it even after _err
-            # is cleared by this raise
+            # is cleared by this raise. The generation bump must happen
+            # BEFORE _err clears — the worker checks `_err is None and
+            # gen >= _min_gen`, so clearing first would open a window where
+            # a stale pre-error task (e.g. a copy queued behind the failed
+            # save) slips through and publishes old state.
             self._gen += 1
             self._min_gen = self._gen
+            err, self._err = self._err, None
             raise err
 
     def wait(self) -> None:

@@ -159,6 +159,27 @@ def fit(
     train_idx = valid_idx = None
     prev = None
     load_from_checkpoint = os.path.exists(checkpoint_filename)
+    if multiproc:
+        # every process restores the checkpoint independently (process 0
+        # wrote it, but ALL must see it: the restored state is device_put
+        # as "replicated", which does not verify cross-process equality, and
+        # the checkpoint meta overrides cfg — a process that misses the file
+        # would train from fresh weights with a desynced schedule). Requires
+        # checkpoint_filename on storage shared by all hosts; fail loudly
+        # when hosts disagree instead of silently split-braining.
+        from jax.experimental import multihost_utils
+
+        seen = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([1 if load_from_checkpoint else 0], np.int32)
+            )
+        ).reshape(-1)
+        assert int(seen.min()) == int(seen.max()), (
+            "checkpoint '{}' exists on {} of {} processes — multi-host "
+            "resume requires it on shared storage visible to every host".format(
+                checkpoint_filename, int(seen.sum()), jax.process_count()
+            )
+        )
     if load_from_checkpoint:
         log("loading state from checkpoint...")
         prev = load_checkpoint(checkpoint_filename)
@@ -193,6 +214,17 @@ def fit(
     train_ds_len = len(train_data)
     log("Length of training dataset: {}".format(train_ds_len))
     log("Length of validation dataset: {}".format(len(valid_data)))
+    if multiproc:
+        # the per-epoch loop drops an indivisible tail batch; with fewer
+        # training examples than one global batch EVERY batch would be that
+        # tail and an epoch would run zero steps (and divide by zero) —
+        # fail at setup with a clear message instead
+        assert train_ds_len >= cfg.batch_size, (
+            "multi-host training needs at least one full global batch per "
+            "epoch: {} training examples < batch size {}".format(
+                train_ds_len, cfg.batch_size
+            )
+        )
 
     orig_h, orig_w = train_data.orig_img_shape
     pad_h = _padded_dim(orig_h, cfg.proj_unet_dim)

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
 from deepfluoro_tpu.data.hdf5 import FluoroData, load_dataset, specimen_counts
+from deepfluoro_tpu.data.pipeline import prefetch_sequence
 from deepfluoro_tpu.train.checkpoint import (
     AsyncCheckpointer,
     load_checkpoint,
@@ -276,45 +277,6 @@ def make_streaming_multifold_eval_step(
             check_vma=False,
         )
     return jax.jit(eval_impl)
-
-
-def _prefetch_epoch(make_batch, num_steps: int, prefetch: int = 2):
-    """Producer-thread prefetch over ``make_batch(s) for s in
-    range(num_steps)``: host batch assembly + (async) device_put of the next
-    batches overlap the current step's compute — the multifold analogue of
-    data.pipeline.PrefetchIterator. Producer errors re-raise on the
-    consumer."""
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
-    stop = threading.Event()
-
-    def produce():
-        try:
-            for s in range(num_steps):
-                if stop.is_set():
-                    return
-                q.put(make_batch(s))
-            q.put(None)
-        except BaseException as e:  # surface producer errors to consumer
-            q.put(e)
-
-    t = threading.Thread(target=produce, daemon=True)
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
-        while not q.empty():
-            q.get_nowait()
-        t.join()
 
 
 def save_fold_checkpoints(
@@ -687,7 +649,9 @@ def fit_multifold(
                 seeds = base + np.arange(k_folds, dtype=np.int32)
                 return assemble(idx) + (jnp.asarray(seeds),)
 
-            batch_iter = _prefetch_epoch(make_batch, steps_per_epoch)
+            # producer-thread prefetch: host batch assembly + async
+            # device_put of upcoming batches overlap this step's compute
+            batch_iter = prefetch_sequence(make_batch, steps_per_epoch)
 
         for s in range(steps_per_epoch):
             if scheds[0] is not None:
