@@ -118,6 +118,68 @@ def test_two_process_distributed_step(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_cli_train_default_mesh(tmp_path):
+    """The documented pod entry point — cli.train with --coordinator /
+    --num-processes / --process-id and NO --dp-devices — must default the
+    mesh to every device in the pod (not a degenerate one-device mesh) and
+    reproduce the single-process CLI run's loss streams exactly."""
+    from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+
+    h5 = str(tmp_path / "synthetic.h5")
+    write_synthetic_dataset(h5, num_specimens=3, num_projs=8, img_dim=32)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mh_cli_worker.py"),
+             str(pid), "2", str(port), str(tmp_path), h5],
+            env=env, cwd=os.path.dirname(TESTS_DIR),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    # the CLI defaulted to the full 4-device data axis (2 procs x 2 devices)
+    assert "device mesh: {'data': 4}" in outs[0]
+    for out in outs:
+        assert "CLI_FIT_DONE" in out
+
+    # single-writer artifacts from process 0 only
+    assert os.path.exists(tmp_path / "cli_mh_ck.pt")
+    mh_tl = [float(x) for x in open(tmp_path / "cli_mh_tl.txt")]
+    mh_vl = [float(x) for x in open(tmp_path / "cli_mh_vl.txt")]
+
+    # parity with the plain single-process CLI run
+    from deepfluoro_tpu.cli.train import main
+
+    main([
+        h5, "--train-pats", "1,2", "--num-classes", "7",
+        "--batch-size", "4", "--unet-img-dim", "36", "--unet-num-lvls", "2",
+        "--unet-init-feats-exp", "3", "--unet-batch-norm", "--unet-padding",
+        "--unet-no-max-pool", "--use-lands", "--train-valid-split", "0.75",
+        "--max-num-epochs", "2", "--lr-sched", "plateau", "--init-lr", "0.05",
+        "--momentum", "0.9", "--nesterov", "--wgt-decay", "1e-4", "--no-gpu",
+        "--checkpoint-net", str(tmp_path / "cli_1p_ck.pt"),
+        "--best-net", str(tmp_path / "cli_1p_best.pt"),
+        "--train-loss-txt", str(tmp_path / "cli_1p_tl.txt"),
+        "--valid-loss-txt", str(tmp_path / "cli_1p_vl.txt"),
+    ])
+    tl1 = [float(x) for x in open(tmp_path / "cli_1p_tl.txt")]
+    vl1 = [float(x) for x in open(tmp_path / "cli_1p_vl.txt")]
+    np.testing.assert_allclose(mh_tl, tl1, rtol=1e-5)
+    np.testing.assert_allclose(mh_vl, vl1, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_two_process_fit_end_to_end(tmp_path):
     """The FLAGSHIP loop (train.loop.fit) across two real jax.distributed
     processes: identical global losses on both, single-writer checkpoints,
