@@ -147,6 +147,7 @@ def ref():
             ncc=importlib.import_module("ncc"),
             dataset=importlib.import_module("dataset"),
             util=importlib.import_module("util"),
+            warm_restarts_lr=importlib.import_module("warm_restarts_lr"),
         )
         yield mods
     finally:
@@ -587,3 +588,67 @@ class TestGoldenAffine:
         )
         l_ours = np.asarray(transform_landmarks(jnp.asarray(lands), m, (h, w)))
         np.testing.assert_allclose(l_ours, l_ref, atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# LR schedules: real warm_restarts_lr.py / torch ReduceLROnPlateau as oracle
+# --------------------------------------------------------------------------
+
+class TestGoldenSchedules:
+    def test_warm_restart_lr_sequence(self, ref):
+        """Drive the REAL WarmRestartLR (warm_restarts_lr.py:14-63) attached
+        to a torch SGD optimizer and this framework's host-side scheduler
+        through 35 epochs x 4 intra-epoch fractional steps (the train-loop
+        usage, train.py:427-428): every intra-epoch LR, every end-of-epoch
+        LR, and every just_restarted flag must match. Covers the restart
+        boundaries of the growing periods (3, 6, 12, 24 -> restarts after
+        epochs 3, 9, 21)."""
+        from deepfluoro_tpu.train.schedules import WarmRestartLR
+
+        base_lr = 0.1
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        sched_t = ref.warm_restarts_lr.WarmRestartLR(
+            opt, init_run_period_epochs=3, growth_factor=2
+        )
+        sched_j = WarmRestartLR(base_lr, init_run_period_epochs=3, growth_factor=2)
+
+        steps_per_epoch = 4
+        for epoch in range(35):
+            for s in range(steps_per_epoch):
+                ratio = s / steps_per_epoch
+                sched_t.intra_epoch_step(ratio)
+                lr_t = opt.param_groups[0]["lr"]
+                lr_j = sched_j.intra_epoch_step(ratio)
+                assert lr_j == pytest.approx(lr_t, abs=1e-12), (epoch, s)
+            sched_t.step()
+            sched_j.step()
+            assert sched_j.just_restarted == sched_t.just_restarted, epoch
+            assert sched_j.get_lr() == pytest.approx(
+                sched_t.get_lr()[0], abs=1e-12
+            ), epoch
+
+    def test_plateau_lr_sequence(self, ref):
+        """The plateau scheduler vs REAL torch.optim.lr_scheduler.
+        ReduceLROnPlateau built exactly like the reference (train.py:339:
+        mode='min', factor=0.1, configurable patience/cooldown, verbose) on
+        a metric stream engineered to hit improvement, patience expiry,
+        cooldown suppression, and a second decay."""
+        from deepfluoro_tpu.train.schedules import ReduceLROnPlateau
+
+        base_lr = 0.1
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        sched_t = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=0.1, patience=2, cooldown=2
+        )
+        sched_j = ReduceLROnPlateau(base_lr, factor=0.1, patience=2, cooldown=2)
+
+        # improving, stuck past patience (decay), cooldown-masked stagnation,
+        # stuck again (second decay), tiny sub-threshold "improvements"
+        metrics = [1.0, 0.9, 0.8, 0.8, 0.8, 0.8, 0.8, 0.8, 0.8, 0.8, 0.8,
+                   0.79999, 0.79998, 0.79997, 0.79996, 0.79995, 0.79994]
+        for i, m in enumerate(metrics):
+            sched_t.step(m)
+            lr_j = sched_j.step(m)
+            assert lr_j == pytest.approx(opt.param_groups[0]["lr"], abs=1e-15), i
