@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-gpu", help="force the CPU backend", action="store_true")
     parser.add_argument("--times", help="write per-image inference seconds to this file", type=str, default="")
     parser.add_argument("--batch-size", help="Images per inference batch (1 matches the reference's timing granularity)", type=int, default=1)
+    parser.add_argument("--ensemble-devices", help="shard the ensemble members over this many devices (must divide the number of --nets); 0 = off", type=int, default=0)
+    parser.add_argument("--dp-devices", help="also shard each inference batch over this many devices (must divide --batch-size); composes with --ensemble-devices on one mesh", type=int, default=0)
     parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
     return parser
 
@@ -50,6 +52,20 @@ def main(argv=None):
     assert args.pats is not None
     test_pats = [int(i) for i in args.pats.split(",")]
     assert len(test_pats) > 0
+
+    mesh = None
+    if args.ensemble_devices > 0 or args.dp_devices > 0:
+        import jax
+
+        from deepfluoro_tpu.parallel import make_mesh
+
+        ens = max(1, args.ensemble_devices)
+        dp = max(1, args.dp_devices)
+        axes = {"ensemble": ens}
+        if dp > 1:
+            axes["data"] = dp
+        mesh = make_mesh(axes, devices=jax.devices()[: ens * dp])
+        print("device mesh: {}".format(dict(zip(mesh.axis_names, mesh.devices.shape))), flush=True)
 
     models_and_vars = []
     cfg = None
@@ -86,6 +102,7 @@ def main(argv=None):
                 batch_size=args.batch_size,
                 pad_img_dim=cfg.proj_unet_dim,
                 num_classes=cfg.num_classes,
+                mesh=mesh,
             )
         print("closing file...")
         f.flush()

@@ -190,12 +190,24 @@ def seg_dataset_ensemble(
     batch_size: int = 1,
     pad_img_dim: int = 0,
     num_classes: int = 7,
+    mesh=None,
 ):
     """Run the ensemble over a dataset and write ``nn-segs`` / ``nn-heats``
     (reference util.py:293-377; file contract incl. dtype/chunks/gzip-9).
 
     models_and_vars: list of (model, variables) from load_net_from_checkpoint;
     all architectures must match (they do in the documented workflow).
+
+    ``mesh`` (a jax.sharding.Mesh with an 'ensemble' axis, optionally times
+    a 'data' axis — cli/test_ensemble --ensemble-devices/--dp-devices)
+    distributes the SAME program across chips: each device runs its local
+    checkpoints' forwards and the softmax/heat averages reduce over ICI
+    (parallel/sharding.py::make_sharded_ensemble_forward — shard_map, not
+    GSPMD, which mispartitions the grouped convs a sharded net-stack lowers
+    to). With a 'data' axis every batch is padded up to ``batch_size`` (the
+    shard_map batch partition is strictly even), so a final partial batch's
+    --times entries report the full-batch wall-clock split over its real
+    images — a slight overestimate on that one batch.
     """
     orig_hw = data.orig_img_shape
     n = len(data)
@@ -220,7 +232,31 @@ def seg_dataset_ensemble(
 
     model = models_and_vars[0][0]
     stacked = stack_variables([v for _, v in models_and_vars])
-    fwd = make_ensemble_forward(model, num_lands, orig_hw)
+    pad_batches = False
+    if mesh is None:
+        fwd = make_ensemble_forward(model, num_lands, orig_hw)
+    else:
+        from deepfluoro_tpu.parallel.sharding import make_sharded_ensemble_forward
+
+        k = len(models_and_vars)
+        ens_size = int(mesh.shape["ensemble"])
+        assert k % ens_size == 0, (
+            "{} ensemble members do not shard evenly over the {}-way "
+            "'ensemble' mesh axis".format(k, ens_size)
+        )
+        data_size = int(mesh.shape["data"]) if "data" in mesh.axis_names else 1
+        assert batch_size % data_size == 0, (
+            "batch size {} does not shard evenly over the {}-way 'data' "
+            "mesh axis".format(batch_size, data_size)
+        )
+        fwd, place_stacked = make_sharded_ensemble_forward(
+            model, num_lands, orig_hw, mesh
+        )
+        stacked = place_stacked(stacked)
+        # shard_map partitions the batch axis strictly evenly: keep ONE
+        # program specialization by padding every batch to batch_size and
+        # trimming the outputs
+        pad_batches = True
 
     aug_cfg = AugmentConfig(
         num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,
@@ -236,9 +272,9 @@ def seg_dataset_ensemble(
     # final partial batch is its OWN specialization — warm it up too, or its
     # recompile lands inside the timed region
     warm_shapes = set()
-    if n >= batch_size:
+    if n >= batch_size or pad_batches:
         warm_shapes.add(batch_size)
-    if n % batch_size:
+    if n % batch_size and not pad_batches:
         warm_shapes.add(n % batch_size)
     for warm_b in warm_shapes:
         warm = jnp.zeros((warm_b, *orig_hw), jnp.float32)
@@ -246,6 +282,11 @@ def seg_dataset_ensemble(
 
     write_i = 0
     for projs, _, _ in it.epoch():
+        real_b = int(projs.shape[0])
+        if pad_batches and real_b < batch_size:
+            projs = jnp.concatenate(
+                [projs, jnp.repeat(projs[-1:], batch_size - real_b, axis=0)]
+            )
         start_time = time.time()
         prepared = prepare_batch(aug_cfg, key, projs)
         _, avg_heats, pred_labels = fwd(stacked, prepared["proj"])
@@ -254,8 +295,12 @@ def seg_dataset_ensemble(
         # finishes, which would under-report the paper's latency metric
         _ = np.asarray(pred_labels[0, 0, 0])
         stop_time = time.time()
+        if pad_batches and real_b < batch_size:
+            pred_labels = pred_labels[:real_b]
+            if avg_heats is not None:
+                avg_heats = avg_heats[:real_b]
 
-        b = int(projs.shape[0])
+        b = real_b
         if times is not None:
             # per-image share of the batch wall-clock (batch 1 == reference)
             times.extend([(stop_time - start_time) / b] * b)

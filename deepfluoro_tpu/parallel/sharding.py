@@ -207,9 +207,14 @@ def make_sharded_ensemble_forward(
     ens = "ensemble"
     assert ens in mesh.axis_names
     data = "data" if "data" in mesh.axis_names else None
-    k_total = mesh.shape[ens]
+    ens_size = int(mesh.shape[ens])
 
     def local_fwd(stacked_vars, proj):
+        # inside shard_map the stacked axis holds this device's K/ens_size
+        # nets; the TOTAL member count (the average's denominator) is the
+        # local count times the axis size — NOT the axis size itself, which
+        # only coincides when every device holds exactly one net
+        k_total = jax.tree.leaves(stacked_vars)[0].shape[0] * ens_size
         def one_net(variables):
             out = model.apply(variables, proj, train=False)
             if num_lands > 0:

@@ -194,3 +194,80 @@ class TestMapOverNets:
             want = jax.vmap(one_net)(stacked)
             np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-6)
             np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=1e-6)
+
+
+class TestSegDatasetEnsembleMesh:
+    """seg_dataset_ensemble on a device mesh (cli/test_ensemble
+    --ensemble-devices/--dp-devices): sharding the net and batch axes is
+    pure parallelism — the written nn-segs/nn-heats must match the
+    unsharded run, including the padded final partial batch."""
+
+    def _nets(self, cfg, k):
+        out = []
+        model = None
+        for i in range(k):
+            model, state = make_train_state(cfg, jax.random.PRNGKey(i), (36, 36))
+            out.append((model, {"params": state.params,
+                                "batch_stats": state.batch_stats}))
+        return out
+
+    def test_matches_unsharded(self, setup, tmp_path):
+        from deepfluoro_tpu.infer import seg_dataset_ensemble
+        from deepfluoro_tpu.parallel import make_mesh
+
+        _, h5p, cfg, _, _ = setup
+        nets = self._nets(cfg, 4)
+        data = load_dataset(h5p, [1], no_seg=True)  # 6 projections
+
+        p1 = str(tmp_path / "plain.h5")
+        with h5.File(p1, "w") as f:
+            seg_dataset_ensemble(data, nets, f, num_lands=14,
+                                 batch_size=4, pad_img_dim=36)
+
+        # 4 nets over 2 ensemble-devices x batch 4 over 2 data-devices;
+        # 6 projections -> the final 2-image batch exercises the padding
+        mesh = make_mesh({"ensemble": 2, "data": 2}, devices=jax.devices()[:4])
+        p2 = str(tmp_path / "mesh.h5")
+        times: list = []
+        with h5.File(p2, "w") as f:
+            seg_dataset_ensemble(data, nets, f, num_lands=14,
+                                 batch_size=4, pad_img_dim=36,
+                                 mesh=mesh, times=times)
+
+        with h5.File(p1, "r") as f1, h5.File(p2, "r") as f2:
+            np.testing.assert_array_equal(f1["nn-segs"][:], f2["nn-segs"][:])
+            np.testing.assert_allclose(
+                f1["nn-heats"][:], f2["nn-heats"][:], atol=1e-5
+            )
+        assert len(times) == 6  # per real image, not per padded slot
+
+    def test_cli_flags(self, setup, tmp_path):
+        """CLI-level: --ensemble-devices/--dp-devices reproduce the plain
+        CLI run's outputs (checkpoints written first, as a user would)."""
+        from deepfluoro_tpu.cli import test_ensemble as te_cli
+        from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+        _, h5p, cfg, _, _ = setup
+        nets = self._nets(cfg, 2)
+        paths = []
+        for i, (_, variables) in enumerate(nets):
+            p = str(tmp_path / "net{}.pt".format(i))
+            save_checkpoint(
+                p, meta=cfg.to_checkpoint_meta(), epoch=1, best_valid_loss=-0.5,
+                params=variables["params"], batch_stats=variables["batch_stats"],
+            )
+            paths.append(p)
+
+        out1 = str(tmp_path / "o1.h5")
+        te_cli.main([h5p, out1, "--pats", "1", "--nets", *paths,
+                     "--batch-size", "2", "--no-gpu"])
+        out2 = str(tmp_path / "o2.h5")
+        te_cli.main([h5p, out2, "--pats", "1", "--nets", *paths,
+                     "--batch-size", "2", "--no-gpu",
+                     "--ensemble-devices", "2", "--dp-devices", "2"])
+
+        with h5.File(out1, "r") as f1, h5.File(out2, "r") as f2:
+            np.testing.assert_array_equal(f1["nn-segs"][:], f2["nn-segs"][:])
+            np.testing.assert_allclose(
+                f1["nn-heats"][:], f2["nn-heats"][:], atol=1e-5
+            )
