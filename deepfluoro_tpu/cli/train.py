@@ -70,6 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", help="random seed", type=int, default=0)
     parser.add_argument("--dp-devices", help="shard each batch over this many devices (data parallelism); 0 = all devices when any parallel flag is active, 1 = off", type=int, default=1)
     parser.add_argument("--spatial-devices", help="also shard image rows over this many devices (for large-resolution training); composes with --dp-devices on one 2-D mesh", type=int, default=1)
+    parser.add_argument("--tp-devices", help="shard conv channels over this many devices (tensor parallelism); composes with --dp-devices, NOT with --spatial-devices (GSPMD miscompiles that composition — measured)", type=int, default=1)
     parser.add_argument("--num-processes", help="total process count for multi-host (pod) training; run one process per host with the same flags", type=int, default=0)
     parser.add_argument("--process-id", help="this process's index in [0, --num-processes)", type=int, default=None)
     parser.add_argument("--coordinator", help="multi-host coordinator address host:port (jax.distributed)", type=str, default=None)
@@ -94,7 +95,7 @@ def main(argv=None):
         initialize(args.coordinator, args.num_processes, args.process_id)
 
     mesh = None
-    if args.dp_devices != 1 or args.spatial_devices > 1 or (
+    if args.dp_devices != 1 or args.spatial_devices > 1 or args.tp_devices > 1 or (
         args.num_processes and args.num_processes > 1
     ):
         import jax
@@ -103,25 +104,35 @@ def main(argv=None):
 
         multiproc = bool(args.num_processes and args.num_processes > 1)
         sp = max(1, args.spatial_devices)
+        tp = max(1, args.tp_devices)
+        assert not (sp > 1 and tp > 1), (
+            "--spatial-devices does not compose with --tp-devices: the GSPMD "
+            "partitioner mis-computes first-conv weight gradients for "
+            "spatially-sharded inputs against channel-sharded kernels "
+            "(measured, parallel/sharding.py) — pick one, or combine either "
+            "with --dp-devices"
+        )
         dp = args.dp_devices
-        if dp <= 0 or (multiproc and dp == 1 and sp == 1):
+        if dp <= 0 or (multiproc and dp == 1 and sp == 1 and tp == 1):
             # default: data parallelism over every remaining device. Also
             # applied when multi-host is requested without an explicit
             # parallelism layout — a {'data': 1} mesh over one of process
             # 0's devices cannot span the pod and would fail deep inside
             # the cross-process batch assembly
-            dp = len(jax.devices()) // sp
+            dp = len(jax.devices()) // (sp * tp)
         axes = {"data": dp}
         if sp > 1:
             axes["spatial"] = sp
-        mesh = make_mesh(axes, devices=jax.devices()[: dp * sp])
+        if tp > 1:
+            axes["model"] = tp
+        mesh = make_mesh(axes, devices=jax.devices()[: dp * sp * tp])
         if multiproc:
             procs_on_mesh = {d.process_index for d in mesh.devices.flat}
             assert len(procs_on_mesh) == jax.process_count(), (
-                "the {}x{} device mesh spans only {} of {} processes — every "
+                "the {}-device mesh spans only {} of {} processes — every "
                 "process must own mesh devices (it feeds its slice of each "
                 "global batch); raise --dp-devices/--spatial-devices".format(
-                    dp, sp, len(procs_on_mesh), jax.process_count()
+                    dp * sp * tp, len(procs_on_mesh), jax.process_count()
                 )
             )
         print("device mesh: {}".format(dict(zip(mesh.axis_names, mesh.devices.shape))), flush=True)

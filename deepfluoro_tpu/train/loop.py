@@ -287,7 +287,26 @@ def fit(
         epoch = int(prev["epoch"])
         del prev
 
-    if repl is not None:
+    tp = mesh is not None and "model" in mesh.axis_names
+    if tp:
+        # tensor parallelism: every state leaf channel-sharded over 'model'
+        # (parallel.sharding.tp_state_shardings — the same rule the step's
+        # out_shardings and sharded-checkpoint restore use), composing with
+        # 'data' through the mesh itself. Host reads (checkpoint snapshot,
+        # loss fetch) gather transparently on a single host; across
+        # processes the leaves would not be addressable, hence the guard.
+        assert not multiproc, (
+            "tensor parallelism shards parameters across the mesh — "
+            "unsupported with multi-process fit() (checkpoint writes need "
+            "every leaf host-addressable); use sharded checkpoints via the "
+            "library path instead"
+        )
+        from deepfluoro_tpu.parallel.sharding import tp_state_shardings
+
+        state = jax.tree.map(
+            lambda x, s: jax.device_put(x, s), state, tp_state_shardings(mesh, state)
+        )
+    elif repl is not None:
         # replicate the (possibly restored) state onto the mesh; every
         # sharded step keeps it replicated via out_shardings
         state = jax.device_put(state, repl)
@@ -309,7 +328,8 @@ def fit(
         from deepfluoro_tpu.train.step import make_streaming_train_step
 
         stream_step = make_streaming_train_step(
-            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial
+            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial,
+            state_template=state,
         )
         batch_sharding = None
         if mesh is not None:
@@ -326,12 +346,14 @@ def fit(
         from deepfluoro_tpu.train.step import make_streaming_train_step
 
         stream_step = make_streaming_train_step(
-            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial
+            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial,
+            state_template=state,
         )
         shuffle_rng = np.random.default_rng(cfg.seed + 1)
     else:
         fused_step = make_fused_train_step(
-            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial
+            cfg, model, tx, aug_train, mesh=mesh, spatial=shard_spatial,
+            state_template=state,
         )
         # dataset resident on device once; each step is ONE dispatch gathering
         # its batch by index inside the fused program. On a mesh the arrays

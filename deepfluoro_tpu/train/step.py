@@ -223,7 +223,33 @@ def _replicated_out_jit_kwargs(mesh) -> dict:
     return {"out_shardings": NamedSharding(mesh, P())}
 
 
-def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spatial=False):
+def _step_out_jit_kwargs(mesh, state_template) -> dict:
+    """out_shardings for a (state, loss) step on ``mesh``. Without a 'model'
+    axis the state replicates (see _replicated_out_jit_kwargs). With one —
+    tensor parallelism — every state leaf keeps its channel sharding
+    (parallel.sharding.tp_state_shardings, the same rule place/restore use)
+    and only the loss replicates; ``state_template`` supplies the leaf
+    shapes and must be given."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if "model" not in mesh.axis_names:
+        return _replicated_out_jit_kwargs(mesh)
+    # lazy import: parallel.sharding imports this module at load time
+    from deepfluoro_tpu.parallel.sharding import tp_state_shardings
+
+    assert state_template is not None, (
+        "a mesh with a 'model' (tensor-parallel) axis needs the state "
+        "template to derive per-leaf shardings"
+    )
+    return {
+        "out_shardings": (
+            tp_state_shardings(mesh, state_template),
+            NamedSharding(mesh, P()),
+        )
+    }
+
+
+def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spatial=False, state_template=None):
     """One-dispatch-per-step training: batch gather from the device-resident
     dataset, PRNG fold-in, the full augmentation pipeline, and the train
     step fused into a single jitted program.
@@ -248,7 +274,7 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spati
     loss_fn = make_loss_fn(cfg, model)
     if mesh is not None:
         pre_aug, post_aug = _make_batch_constrainers(mesh, spatial)
-        jit_kwargs = _replicated_out_jit_kwargs(mesh)
+        jit_kwargs = _step_out_jit_kwargs(mesh, state_template)
     else:
         pre_aug = post_aug = lambda x: x
         jit_kwargs = {}
@@ -273,7 +299,7 @@ def make_fused_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spati
     return fused
 
 
-def make_streaming_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spatial=False):
+def make_streaming_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, spatial=False, state_template=None):
     """Train step for HOST-resident datasets (too large for HBM): consumes a
     raw streamed batch instead of gathering from device-resident arrays, but
     still fuses augmentation + forward/backward + update into one dispatch.
@@ -293,7 +319,7 @@ def make_streaming_train_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None, s
     loss_fn = make_loss_fn(cfg, model)
     if mesh is not None:
         pre_aug, post_aug = _make_batch_constrainers(mesh, spatial)
-        jit_kwargs = _replicated_out_jit_kwargs(mesh)
+        jit_kwargs = _step_out_jit_kwargs(mesh, state_template)
     else:
         pre_aug = post_aug = lambda x: x
         jit_kwargs = {}

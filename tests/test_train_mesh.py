@@ -169,3 +169,78 @@ class TestMeshCLI:
         np.testing.assert_allclose(tl2, tl1, rtol=1e-5)
         np.testing.assert_allclose(vl2, vl1, rtol=1e-5)
         assert os.path.exists(str(tmp_path / "cmesh.pt"))
+
+
+class TestTensorParallelFit:
+    """fit() with a 'model' mesh axis: parameters/optimizer state live
+    channel-sharded (tensor parallelism), composing with 'data' — must
+    reproduce the single-device run and write a normal (gathered)
+    checkpoint."""
+
+    def test_dp_tp_mesh_matches_single_device(self, tmp_path, fixture_h5):
+        out1, tl1, vl1 = run_fit(fixture_h5, tmp_path, "plain_tp")
+
+        mesh = make_mesh({"data": 2, "model": 2}, devices=jax.devices()[:4])
+        out2, tl2, vl2 = run_fit(fixture_h5, tmp_path, "mesh_tp", mesh=mesh)
+
+        np.testing.assert_allclose(tl2, tl1, rtol=1e-5)
+        np.testing.assert_allclose(vl2, vl1, rtol=1e-5)
+        for a, b in zip(
+            jax.tree.leaves(out1["state"].params), jax.tree.leaves(out2["state"].params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        # some conv kernel really is channel-sharded over the 'model' axis
+        sharded = [
+            x for x in jax.tree.leaves(out2["state"].params)
+            if hasattr(x, "sharding") and x.ndim == 4
+            and not x.sharding.is_fully_replicated
+        ]
+        assert sharded, "no conv kernel ended up sharded"
+        # and the checkpoint written from sharded state restores normally
+        from deepfluoro_tpu.infer.ensemble import load_net_from_checkpoint
+
+        _, variables, _ = load_net_from_checkpoint(
+            str(tmp_path / "cmesh_tp.pt"), verbose=False
+        )
+
+    def test_cli_tp_matches_plain_cli(self, tmp_path, fixture_h5):
+        """--tp-devices at the CLI reproduces the plain CLI loss streams."""
+        from deepfluoro_tpu.cli.train import main
+
+        common = [
+            fixture_h5, "--train-pats", "1,2", "--num-classes", "7",
+            "--batch-size", "4", "--unet-img-dim", "36", "--unet-num-lvls", "2",
+            "--unet-init-feats-exp", "3", "--unet-batch-norm", "--unet-padding",
+            "--unet-no-max-pool", "--use-lands", "--train-valid-split", "0.8",
+            "--max-num-epochs", "1", "--lr-sched", "plateau", "--init-lr", "0.05",
+            "--momentum", "0.9", "--nesterov", "--wgt-decay", "1e-4",
+            "--no-gpu",
+        ]
+
+        def run(tag, extra):
+            args = common + [
+                "--checkpoint-net", str(tmp_path / f"c{tag}.pt"),
+                "--best-net", str(tmp_path / f"b{tag}.pt"),
+                "--train-loss-txt", str(tmp_path / f"t{tag}.txt"),
+                "--valid-loss-txt", str(tmp_path / f"v{tag}.txt"),
+            ] + extra
+            main(args)
+            return (
+                [float(x) for x in open(str(tmp_path / f"t{tag}.txt"))],
+                [float(x) for x in open(str(tmp_path / f"v{tag}.txt"))],
+            )
+
+        tl1, vl1 = run("plain2", [])
+        tl2, vl2 = run("tp", ["--tp-devices", "4"])
+        np.testing.assert_allclose(tl2, tl1, rtol=1e-5)
+        np.testing.assert_allclose(vl2, vl1, rtol=1e-5)
+
+    def test_spatial_tp_rejected(self, tmp_path, fixture_h5):
+        from deepfluoro_tpu.cli.train import main
+
+        with pytest.raises(AssertionError, match="spatial"):
+            main([
+                fixture_h5, "--train-pats", "1,2", "--num-classes", "7",
+                "--batch-size", "4", "--no-gpu",
+                "--spatial-devices", "2", "--tp-devices", "2",
+            ])
