@@ -70,9 +70,47 @@ def _template_dim(cfg: TrainConfig) -> int:
     return s
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    """Reference ``.pt`` files are torch.save artifacts: a zip archive
+    (``PK``, the modern default) or a bare pickle stream (``\\x80`` PROTO
+    opcode, legacy serialization). This framework's msgpack checkpoints
+    start with a map header for their >2-entry top-level dict (0x82-0x8f
+    fixmap or 0xde/0xdf map16/32), so the magics cannot collide."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+
+
+def _load_net_from_torch_checkpoint(path: str, verbose: bool = True):
+    """Drop-in migration: rebuild (model, variables, cfg) from a checkpoint
+    the REFERENCE's train.py wrote (train.py:473-515) — architecture from the
+    stored hyperparameters (test_ensemble.py:61-98 contract), weights through
+    compat.torch_import's layout conversions."""
+    from deepfluoro_tpu.compat.torch_import import import_torch_checkpoint
+
+    cfg, params, stats = import_torch_checkpoint(path)
+    if verbose:
+        print("  loading unet params from torch (reference) checkpoint...")
+        print("             num. classes: {}".format(cfg.num_classes))
+        print("                    depth: {}".format(cfg.depth))
+        print("        init. feats. exp.: {}".format(cfg.init_feats_exp))
+        print("              batch norm.: {}".format(cfg.batch_norm))
+        print("    reflect pad img. dim.: {}".format(cfg.proj_unet_dim))
+        print("              num. lands.: {}".format(cfg.num_lands))
+    model = build_model(cfg)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    return model, variables, cfg
+
+
 def load_net_from_checkpoint(path: str, verbose: bool = True):
     """Rebuild (model, variables, cfg) purely from a checkpoint file
-    (contract of test_ensemble.py:61-107)."""
+    (contract of test_ensemble.py:61-107). Accepts this framework's msgpack
+    checkpoints AND the reference's torch ``.pt`` files (auto-detected), so
+    reference-trained ensembles run through cli/test_ensemble unchanged."""
+    if _is_torch_checkpoint(path):
+        return _load_net_from_torch_checkpoint(path, verbose)
     ck = load_checkpoint(path)
     cfg = TrainConfig.from_checkpoint_meta(ck["meta"])
     if verbose:

@@ -1,0 +1,473 @@
+"""Golden parity for the inference/eval layer against the ACTUAL reference
+code (extends tests/test_reference_golden.py, which covers model/losses/
+dataset/schedules, to SURVEY §2.1 components 9-12 and 18).
+
+Oracles exercised here, all run as-is from /root/reference/train_test_code:
+
+* ``util.center_crop`` / ``util.get_gaussian_2d_heatmap`` (component 18);
+* ``util.test_dataset`` / ``util.test_dataset_ensemble`` (component 9's loss
+  harnesses) vs infer.ensemble.test_dataset_ensemble on the SAME imported
+  checkpoints — the ensemble averaging + joint-loss semantics;
+* ``util.seg_dataset_ensemble`` (component 9's HDF5 writer, the documented
+  inference path, util.py:293-377) vs infer.ensemble.seg_dataset_ensemble:
+  same nets -> same nn-segs argmax maps and per-net min-max-normalized
+  averaged nn-heats;
+* the REAL ``est_lands_csv.py`` and ``compute_actual_dice_on_test.py``
+  scripts (components 11-12 are ``__main__``-only, so they run via runpy
+  with patched argv) vs this framework's CLIs on identical artifacts —
+  CSV-row parity across found / seg-gated / NCC-rejected landmark cases and
+  the hard-Dice ``{:.2f}`` contract including both-empty -> 1.0.
+"""
+
+import math
+import os
+import runpy
+import sys
+import types
+
+import h5py as h5
+import numpy as np
+import pytest
+
+REF_DIR = "/root/reference/train_test_code"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference code not available"
+)
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+import test_reference_golden as trg  # noqa: E402  (shared shim + importers)
+from deepfluoro_tpu.data.fixtures import (  # noqa: E402
+    DEFAULT_LAND_NAMES,
+    write_synthetic_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    trg._install_torchvision_shim()
+    sys.path.insert(0, REF_DIR)
+    try:
+        import importlib
+
+        yield types.SimpleNamespace(
+            unet=importlib.import_module("unet"),
+            dataset=importlib.import_module("dataset"),
+            util=importlib.import_module("util"),
+        )
+    finally:
+        sys.path.remove(REF_DIR)
+
+
+@pytest.fixture(scope="module")
+def fixture_h5(tmp_path_factory):
+    path = tmp_path_factory.mktemp("golden_infer") / "synthetic.h5"
+    return write_synthetic_dataset(str(path), num_specimens=1, num_projs=5, img_dim=32)
+
+
+def _run_reference_script(script_name, argv):
+    """Execute a ``__main__``-only reference CLI exactly as shipped."""
+    import io
+
+    trg._install_torchvision_shim()
+    old_argv = sys.argv
+    sys.path.insert(0, REF_DIR)
+    sys.argv = [script_name] + [str(a) for a in argv]
+    try:
+        g = runpy.run_path(os.path.join(REF_DIR, script_name), run_name="__main__")
+        # est_lands_csv.py never closes csv_out; as a process the interpreter
+        # exit flushes it, in-process we must (compute_actual_dice closes its
+        # own)
+        for v in g.values():
+            if isinstance(v, io.IOBase) and not v.closed:
+                v.close()
+    finally:
+        sys.argv = old_argv
+        sys.path.remove(REF_DIR)
+
+
+# --------------------------------------------------------------------------
+# component 18: utility kit vs the real util.py
+# --------------------------------------------------------------------------
+
+class TestGoldenUtilKit:
+    def test_center_crop_parity(self, ref, rng):
+        from deepfluoro_tpu.ops.image import center_crop
+
+        for src, dst in [((37, 41), (24, 28)), ((16, 16), (16, 16)), ((9, 8), (8, 7))]:
+            img2 = rng.standard_normal(src).astype(np.float32)
+            want = ref.util.center_crop(torch.from_numpy(img2), dst).numpy()
+            got = np.asarray(center_crop(jnp.asarray(img2), dst))
+            np.testing.assert_array_equal(got, want)
+
+            img4 = rng.standard_normal((2, 3) + src).astype(np.float32)
+            want4 = ref.util.center_crop(torch.from_numpy(img4), dst).numpy()
+            got4 = np.asarray(
+                center_crop(jnp.asarray(img4), dst, spatial_axes=(2, 3))
+            )
+            np.testing.assert_array_equal(got4, want4)
+
+    def test_gaussian_template_parity(self, ref):
+        from deepfluoro_tpu.ops.heatmap import gaussian_heatmap
+
+        want = ref.util.get_gaussian_2d_heatmap(25, 25, 2.5).numpy()
+        got = np.asarray(gaussian_heatmap(25, 25, 2.5))
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+        # off-center peak + even dims (default-peak integer division)
+        want = ref.util.get_gaussian_2d_heatmap(24, 30, 1.75, 5, 21.5).numpy()
+        got = np.asarray(gaussian_heatmap(24, 30, 1.75, 5, 21.5))
+        np.testing.assert_allclose(got, want, atol=1e-7)
+        want = ref.util.get_gaussian_2d_heatmap(24, 30, 3.0).numpy()
+        got = np.asarray(gaussian_heatmap(24, 30, 3.0))
+        np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+# --------------------------------------------------------------------------
+# component 9: the real util.py eval/inference harnesses as oracles
+# --------------------------------------------------------------------------
+
+NUM_LANDS = len(DEFAULT_LAND_NAMES)
+PAD_DIM = 40
+
+TORCH_CFG = dict(
+    num_classes=7, depth=2, init_feats_exp=3, padding=True, batch_norm=True,
+    no_max_pool=True, num_lands=NUM_LANDS, use_res=True, block_depth=2,
+)
+
+
+@pytest.fixture(scope="module")
+def nets(ref):
+    """Two real reference UNets (random weights, eval mode) + their imports
+    into this framework via compat.torch_import."""
+    pairs = []
+    for seed in (11, 23):
+        torch.manual_seed(seed)
+        net = ref.unet.UNet(
+            in_channels=1, n_classes=7, depth=2, wf=3, padding=True,
+            batch_norm=True, max_pool=False, num_lands=NUM_LANDS, do_res=True,
+            block_depth=2,
+        )
+        net.eval()
+        model, variables = trg._flax_from_torch(net, {}, TORCH_CFG)
+        pairs.append((net, model, variables))
+    return pairs
+
+
+class TestGoldenLossHarnesses:
+    def test_test_dataset_single_net(self, ref, fixture_h5, nets):
+        """Real util.test_dataset (batch-1 joint loss mean/std,
+        util.py:116-165) vs test_dataset_ensemble with one net."""
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+        from deepfluoro_tpu.infer.ensemble import test_dataset_ensemble
+
+        net, model, variables = nets[0]
+        ds_ref = ref.dataset.get_dataset(
+            fixture_h5, [1], num_classes=7, pad_img_dim=PAD_DIM
+        )
+        want_mean, want_std = ref.util.test_dataset(
+            ds_ref, net, dev=torch.device("cpu"), num_lands=NUM_LANDS
+        )
+
+        data = load_dataset(fixture_h5, [1])
+        got_mean, got_std = test_dataset_ensemble(
+            data, [(model, variables)], num_lands=NUM_LANDS, pad_img_dim=PAD_DIM
+        )
+        assert got_mean == pytest.approx(float(want_mean), abs=2e-5)
+        assert got_std == pytest.approx(float(want_std), abs=2e-5)
+
+    @pytest.mark.parametrize("dice_only", [False, True])
+    def test_test_dataset_ensemble(self, ref, fixture_h5, nets, dice_only):
+        """Real util.test_dataset_ensemble (prediction averaging BEFORE the
+        loss, no heat normalization, util.py:167-241) vs ours."""
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+        from deepfluoro_tpu.infer.ensemble import test_dataset_ensemble
+
+        ds_ref = ref.dataset.get_dataset(
+            fixture_h5, [1], num_classes=7, pad_img_dim=PAD_DIM
+        )
+        want_mean, want_std = ref.util.test_dataset_ensemble(
+            ds_ref, [p[0] for p in nets], dev=torch.device("cpu"),
+            num_lands=NUM_LANDS, dice_only=dice_only,
+        )
+
+        data = load_dataset(fixture_h5, [1])
+        got_mean, got_std = test_dataset_ensemble(
+            data, [(p[1], p[2]) for p in nets], num_lands=NUM_LANDS,
+            dice_only=dice_only, pad_img_dim=PAD_DIM,
+        )
+        assert got_mean == pytest.approx(float(want_mean), abs=2e-5)
+        assert got_std == pytest.approx(float(want_std), abs=2e-5)
+
+
+class TestGoldenSegDatasetEnsemble:
+    def test_output_archives_match(self, ref, fixture_h5, nets, tmp_path):
+        """The documented inference path end-to-end: the real
+        util.seg_dataset_ensemble and this framework's write the same
+        nn-segs argmax maps and the same per-net-min-max-normalized averaged
+        nn-heats from the same two checkpoints."""
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+        from deepfluoro_tpu.infer.ensemble import seg_dataset_ensemble
+
+        ds_ref = ref.dataset.get_dataset(
+            fixture_h5, [1], num_classes=7, pad_img_dim=PAD_DIM, no_seg=True
+        )
+        ref_out = str(tmp_path / "ref_out.h5")
+        with h5.File(ref_out, "w") as f:
+            ref.util.seg_dataset_ensemble(
+                ds_ref, [p[0] for p in nets], f, dev=None,
+                num_lands=NUM_LANDS, times=[],
+            )
+
+        data = load_dataset(fixture_h5, [1], no_seg=True)
+        our_out = str(tmp_path / "our_out.h5")
+        with h5.File(our_out, "w") as f:
+            seg_dataset_ensemble(
+                data, [(p[1], p[2]) for p in nets], f,
+                num_lands=NUM_LANDS, pad_img_dim=PAD_DIM,
+            )
+
+        with h5.File(ref_out, "r") as fr, h5.File(our_out, "r") as fo:
+            segs_ref = fr["nn-segs"][:]
+            segs_our = fo["nn-segs"][:]
+            heats_ref = fr["nn-heats"][:]
+            heats_our = fo["nn-heats"][:]
+            assert fo["nn-segs"].dtype == fr["nn-segs"].dtype == np.uint8
+            assert fo["nn-segs"].compression == fr["nn-segs"].compression == "gzip"
+
+        # same-checkpoint -> same argmax maps (SURVEY §4(c)); tolerate only
+        # pixels where backend fp differences could legitimately flip a
+        # near-tied argmax — there must be almost none on smooth softmax maps
+        mismatch = float(np.mean(segs_ref != segs_our))
+        assert mismatch <= 0.002, mismatch
+        np.testing.assert_allclose(heats_our, heats_ref, atol=2e-4)
+
+    def test_single_net_seg_dataset_argmax(self, ref, fixture_h5, nets, tmp_path):
+        """Real util.seg_dataset (single net, no heat normalization,
+        util.py:243-291) vs our seg_dataset: identical argmax maps. (Heats
+        deliberately diverge: this framework normalizes in both paths —
+        documented divergence, monotone per image, argmax-invariant.)"""
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+        from deepfluoro_tpu.infer.ensemble import seg_dataset
+
+        net, model, variables = nets[0]
+        ds_ref = ref.dataset.get_dataset(
+            fixture_h5, [1], num_classes=7, pad_img_dim=PAD_DIM, no_seg=True
+        )
+        ref_out = str(tmp_path / "ref_single.h5")
+        with h5.File(ref_out, "w") as f:
+            ref.util.seg_dataset(ds_ref, net, f, dev=None, num_lands=NUM_LANDS)
+
+        data = load_dataset(fixture_h5, [1], no_seg=True)
+        our_out = str(tmp_path / "our_single.h5")
+        with h5.File(our_out, "w") as f:
+            seg_dataset(
+                data, (model, variables), f,
+                num_lands=NUM_LANDS, pad_img_dim=PAD_DIM,
+            )
+
+        with h5.File(ref_out, "r") as fr, h5.File(our_out, "r") as fo:
+            mismatch = float(np.mean(fr["nn-segs"][:] != fo["nn-segs"][:]))
+        assert mismatch <= 0.002, mismatch
+
+
+# --------------------------------------------------------------------------
+# components 11-12: the real eval scripts as oracles (runpy)
+# --------------------------------------------------------------------------
+
+def _quadrant_segs(n, hw):
+    """Label maps covering every seg class the landmark gate uses
+    (est_lands_csv.py:56-73 -> {1, 2, 5, 6}), with a background ring."""
+    segs = np.zeros((n, hw, hw), np.uint8)
+    half = hw // 2
+    segs[:, 2:half, 2:half] = 1
+    segs[:, 2:half, half:-2] = 2
+    segs[:, half:-2, 2:half] = 5
+    segs[:, half:-2, half:-2] = 6
+    return segs
+
+
+def _gaussian(hw, r, c, sigma=2.5):
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32)
+    return np.exp(((xx - c) ** 2 + (yy - r) ** 2) / (sigma * sigma * -2.0))
+
+
+@pytest.fixture(scope="module")
+def decode_archive(tmp_path_factory):
+    """A controlled inference archive: per (proj, landmark) heatmaps hitting
+    the found / wrong-seg-class / flat-rejected branches of rule 3."""
+    d = tmp_path_factory.mktemp("decode")
+    path = str(d / "est.h5")
+    hw, n = 64, 4
+    gate = {  # est_lands_csv.py:56-73
+        "FH-l": 5, "FH-r": 6, "GSN-l": 1, "GSN-r": 2, "IOF-l": 1, "IOF-r": 2,
+        "MOF-l": 1, "MOF-r": 2, "SPS-l": 1, "SPS-r": 2, "IPS-l": 1, "IPS-r": 2,
+        "ASIS-l": 1, "ASIS-r": 2, "PSIS-l": 1, "PSIS-r": 2, "PIIS-l": 1,
+        "PIIS-r": 2,
+    }
+    # centers of the quadrants holding each label (see _quadrant_segs)
+    centers = {1: (17, 17), 2: (17, 47), 5: (47, 17), 6: (47, 47)}
+    segs = _quadrant_segs(n, hw)
+    heats = np.zeros((n, NUM_LANDS, hw, hw), np.float32)
+    for i in range(n):
+        for li, name in enumerate(DEFAULT_LAND_NAMES):
+            g = gate[name]
+            case = (i + li) % 3
+            if case == 0:  # clean peak inside the gated class -> found
+                r, c = centers[g]
+                heats[i, li] = _gaussian(hw, r + (li % 5) - 2, c + (i % 3) - 1)
+            elif case == 1:  # peak inside a different class -> gated
+                # argmax lands on a smooth monotone tail (wide sigma keeps a
+                # strict unique in-region max; a narrow one underflows to
+                # all-zero ties); the NCC gate rejects the ramp-shaped ROI
+                other = {1: 6, 2: 5, 5: 2, 6: 1}[g]
+                r, c = centers[other]
+                heats[i, li] = _gaussian(hw, r, c, sigma=6.0)
+            # case 2: all-zero heat -> rejected
+    with h5.File(path, "w") as f:
+        from deepfluoro_tpu.data.hdf5 import write_land_names
+
+        write_land_names(f, DEFAULT_LAND_NAMES)
+        f.create_dataset("nn-segs", data=segs)
+        f.create_dataset("nn-heats", data=heats)
+    return path
+
+
+def _read_land_rows(csv_path):
+    lines = open(csv_path).read().strip().splitlines()
+    assert lines[0] == "pat,proj,land,row,col,time"
+    rows = []
+    for ln in lines[1:]:
+        p, i, l, r, c, _t = ln.split(",")
+        rows.append((int(p), int(i), int(l), int(r), int(c)))
+    return rows
+
+
+class TestGoldenEstLandsScript:
+    @pytest.mark.parametrize("use_seg", [True, False], ids=["seg_gated", "no_seg"])
+    def test_csv_parity(self, ref, decode_archive, tmp_path, use_seg):
+        from deepfluoro_tpu.cli import est_lands_csv as our_cli
+
+        ref_csv = str(tmp_path / "ref_{}.csv".format(use_seg))
+        our_csv = str(tmp_path / "our_{}.csv".format(use_seg))
+        extra = ["--use-seg", "nn-segs"] if use_seg else []
+        _run_reference_script(
+            "est_lands_csv.py",
+            [decode_archive, "nn-heats", "--pat", 1, "--out", ref_csv] + extra,
+        )
+        our_cli.main(
+            [decode_archive, "nn-heats", "--pat", "1", "--out", our_csv] + extra
+        )
+
+        want = _read_land_rows(ref_csv)
+        got = _read_land_rows(our_csv)
+        assert got == want
+
+        # the fixture must actually exercise both branches
+        found = [r for r in want if r[3] >= 0]
+        rejected = [r for r in want if r[3] == -1]
+        assert found and rejected
+
+
+class TestGoldenDiceScript:
+    def test_csv_parity(self, ref, fixture_h5, tmp_path):
+        """Real compute_actual_dice_on_test.py vs our CLI on a perturbed
+        estimate: byte-identical CSVs (incl. the {:.2f} contract and the
+        both-empty -> 1.00 branch via an emptied class)."""
+        from deepfluoro_tpu.cli import compute_actual_dice_on_test as our_cli
+
+        with h5.File(fixture_h5, "r") as f:
+            gt = f["01/segs"][:]
+        gt = gt.copy()
+        gt[gt == 4] = 1  # guarantee a label empty in BOTH gt and est
+        gt_path = str(tmp_path / "gt_ds.h5")
+        with h5.File(gt_path, "w") as f:
+            f.create_dataset("01/segs", data=gt.astype(np.uint8))
+        est = np.roll(gt, shift=2, axis=2)
+        est[0] = 0  # first projection all background
+        est[est == 3] = 5  # and a class empty in est but not (necessarily) gt
+        est_path = str(tmp_path / "est_segs.h5")
+        with h5.File(est_path, "w") as f:
+            f.create_dataset("nn-segs", data=est.astype(np.uint8))
+
+        ref_csv = str(tmp_path / "ref_dice.csv")
+        our_csv = str(tmp_path / "our_dice.csv")
+        _run_reference_script(
+            "compute_actual_dice_on_test.py",
+            [gt_path, est_path, "nn-segs", ref_csv, 1],
+        )
+        our_cli.main([gt_path, est_path, "nn-segs", our_csv, "1"])
+
+        want = open(ref_csv).read()
+        got = open(our_csv).read()
+        assert got == want
+        assert ",1.00" in want  # the both-empty quirk fired somewhere
+
+
+# --------------------------------------------------------------------------
+# drop-in migration: checkpoints TRAINED by the real train.py, consumed by
+# this framework's test_ensemble CLI
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trained_pts(ref, fixture_h5, tmp_path_factory):
+    """Two genuine .pt checkpoints written by the REAL reference train.py
+    (2 epochs, tiny paper-style config, CPU): real BN running stats, real
+    optimizer-trained weights, the real save_net key set."""
+    d = tmp_path_factory.mktemp("ref_train")
+    ck, best = str(d / "zz_checkpoint.pt"), str(d / "zz_best.pt")
+    _run_reference_script(
+        "train.py",
+        [
+            fixture_h5, "--train-pats", "1", "--num-classes", "7",
+            "--batch-size", "4", "--unet-img-dim", "40",
+            "--unet-num-lvls", "2", "--unet-init-feats-exp", "3",
+            "--unet-batch-norm", "--unet-padding", "--unet-no-max-pool",
+            "--use-lands", "--max-num-epochs", "2", "--init-lr", "0.01",
+            "--nesterov", "--momentum", "0.9", "--wgt-decay", "0.0001",
+            "--lr-sched", "cos", "--cos-anneal-epochs", "10",
+            "--train-valid-split", "0.8", "--no-gpu",
+            "--checkpoint-net", ck, "--best-net", best,
+            "--train-loss-txt", str(d / "tl.txt"),
+            "--valid-loss-txt", str(d / "vl.txt"),
+        ],
+    )
+    assert os.path.exists(ck) and os.path.exists(best)
+    return [best, ck]
+
+
+@pytest.mark.slow
+class TestGoldenTrainedCheckpointInterop:
+    def test_reference_pt_ensemble_through_our_cli(
+        self, ref, fixture_h5, trained_pts, tmp_path
+    ):
+        """The migration story end-to-end: the REAL test_ensemble.py and our
+        cli.test_ensemble consume the SAME reference-trained .pt files (ours
+        via the auto-detected torch-import path) and must write matching
+        nn-segs / nn-heats archives."""
+        from deepfluoro_tpu.cli import test_ensemble as our_cli
+
+        ref_out = str(tmp_path / "ref_out.h5")
+        our_out = str(tmp_path / "our_out.h5")
+        _run_reference_script(
+            "test_ensemble.py",
+            [fixture_h5, ref_out, "--pats", "1", "--no-gpu", "--nets"]
+            + trained_pts,
+        )
+        our_cli.main(
+            [fixture_h5, our_out, "--pats", "1", "--nets"] + trained_pts
+        )
+
+        with h5.File(ref_out, "r") as fr, h5.File(our_out, "r") as fo:
+            assert int(fo["land-names/num-lands"][()]) == int(
+                fr["land-names/num-lands"][()]
+            )
+            segs_ref, segs_our = fr["nn-segs"][:], fo["nn-segs"][:]
+            heats_ref, heats_our = fr["nn-heats"][:], fo["nn-heats"][:]
+        assert segs_our.shape == segs_ref.shape
+        mismatch = float(np.mean(segs_ref != segs_our))
+        assert mismatch <= 0.002, mismatch
+        np.testing.assert_allclose(heats_our, heats_ref, atol=2e-4)
