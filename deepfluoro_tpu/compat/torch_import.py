@@ -130,3 +130,121 @@ def import_torch_checkpoint(path: str):
     sd = {k: v.numpy() for k, v in state["model-state-dict"].items()}
     params, stats = import_torch_state_dict(sd, cfg)
     return cfg, params, stats
+
+
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
+
+
+def _import_torch_momentum(state: dict, cfg: TrainConfig, sd: dict):
+    """torch SGD momentum buffers -> a params-shaped tree (the optax
+    ``trace`` state; both store b_t = m*b_{t-1} + (g + wd*p), so the values
+    carry over verbatim — only the conv-kernel layouts change).
+
+    torch's optimizer-state-dict keys buffers by a flat parameter index;
+    param_groups list those indices in ``net.parameters()`` order, which is
+    the model-state-dict key order with the BN buffers removed (both follow
+    module registration order). Params torch has not stepped yet (lazy
+    buffer init) map to zeros — torch's first step sets b_0 = g, identical
+    to optax trace starting from 0."""
+    osd = state.get("optimizer-state-dict") or {}
+    if not osd or cfg.optim_type != "sgd" or cfg.momentum <= 0:
+        return None
+    param_keys = [
+        k for k in state["model-state-dict"] if not k.endswith(_BUFFER_SUFFIXES)
+    ]
+    order: list = []
+    for g in osd.get("param_groups", []):
+        order.extend(g["params"])
+    if len(order) != len(param_keys):  # unexpected layout — warm-start only
+        return None
+    buf_sd = dict(sd)  # keep BN running stats for the importer's reads
+    for slot, k in zip(order, param_keys):
+        buf = osd.get("state", {}).get(slot, {}).get("momentum_buffer")
+        buf_sd[k] = np.zeros_like(sd[k]) if buf is None else buf.numpy()
+    momentum, _ = import_torch_state_dict(buf_sd, cfg)
+    return momentum
+
+
+def _import_torch_sched_state(state: dict, cfg: TrainConfig) -> dict:
+    """Map the torch scheduler state (reference WarmRestartLR.__dict__ or
+    torch ReduceLROnPlateau.state_dict()) onto this framework's scheduler
+    state-dict fields (train/schedules.py; field names intentionally match
+    warm_restarts_lr.py's attributes)."""
+    sched = state.get("scheduler-state-dict") or {}
+    if not sched:
+        return {}
+    osd = state.get("optimizer-state-dict") or {}
+    out: dict = {}
+    if cfg.lr_sched_meth == "cos":
+        for k in (
+            "lr_min", "cur_run_period_epochs", "next_restart_epoch",
+            "last_restart_epoch", "period_growth_factor", "cur_epoch_ratio",
+            "just_restarted", "last_epoch",
+        ):
+            if k in sched:
+                out[k] = sched[k]
+        if sched.get("base_lrs"):
+            out["base_lr"] = float(sched["base_lrs"][0])
+    elif cfg.lr_sched_meth == "plateau":
+        for k in (
+            "factor", "patience", "cooldown", "threshold", "best",
+            "num_bad_epochs", "cooldown_counter",
+        ):
+            if k in sched:
+                out[k] = sched[k]
+        if sched.get("min_lrs"):
+            out["min_lr"] = float(sched["min_lrs"][0])
+        groups = osd.get("param_groups", [])
+        if groups and groups[0].get("lr") is not None:
+            out["lr"] = float(groups[0]["lr"])
+    return out
+
+
+def _idx_list(v):
+    if v is None:
+        return []
+    return [int(i) for i in np.asarray(v).reshape(-1)]
+
+
+def torch_checkpoint_to_native(path: str) -> dict:
+    """Load a reference train.py checkpoint (train.py:473-515) as the SAME
+    payload structure train.checkpoint.load_checkpoint returns, so fit()
+    resumes training from a reference user's .pt file: weights + BN stats
+    (layout-converted), SGD momentum buffers (under the extra
+    ``torch-momentum`` key — injected into the optax trace by the loop),
+    LR-scheduler state, epoch / best-valid-loss / restart count, and the
+    train/valid split indices."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    meta = {
+        k: v for k, v in state.items()
+        if not k.endswith("state-dict") and k not in ("loss",)
+    }
+    cfg = TrainConfig.from_checkpoint_meta(meta)
+    sd = {k: v.numpy() for k, v in state["model-state-dict"].items()}
+    params, stats = import_torch_state_dict(sd, cfg)
+
+    bvl = state.get("best-valid-loss")
+    bvl = np.nan if bvl is None else float(bvl)
+    loss = state.get("loss")
+    try:
+        loss = -1.0 if loss is None else float(loss)
+    except (TypeError, ValueError):  # e.g. a non-scalar tensor
+        loss = -1.0
+
+    return {
+        "meta": meta,
+        "epoch": int(state.get("epoch", 0)),
+        "loss": loss,
+        "best-valid-loss": bvl,
+        "lrs-num-restarts": int(state.get("lrs-num-restarts", 0)),
+        "model-state-dict": {"params": params, "batch_stats": stats or {}},
+        # not representable in the native optax serialized form; the loop
+        # rebuilds opt_state from torch-momentum instead
+        "optimizer-state-dict": {},
+        "torch-momentum": _import_torch_momentum(state, cfg, sd),
+        "scheduler-state-dict": _import_torch_sched_state(state, cfg),
+        "train-idx": _idx_list(state.get("train-idx")),
+        "valid-idx": _idx_list(state.get("valid-idx")),
+    }

@@ -182,7 +182,19 @@ def fit(
         )
     if load_from_checkpoint:
         log("loading state from checkpoint...")
-        prev = load_checkpoint(checkpoint_filename)
+        from deepfluoro_tpu.infer.ensemble import _is_torch_checkpoint
+
+        if _is_torch_checkpoint(checkpoint_filename):
+            # drop-in migration: a reference train.py .pt resumes here —
+            # weights/BN stats, SGD momentum, scheduler state, epoch, and
+            # split indices all carry over (compat/torch_import.py); the
+            # next periodic save rewrites the file in the native format
+            from deepfluoro_tpu.compat.torch_import import torch_checkpoint_to_native
+
+            log("  (reference torch checkpoint detected; importing)")
+            prev = torch_checkpoint_to_native(checkpoint_filename)
+        else:
+            prev = load_checkpoint(checkpoint_filename)
         cfg = TrainConfig.from_checkpoint_meta(prev["meta"], base=cfg)
         if cfg.train_valid_split >= 0:
             train_idx = list(prev["train-idx"])
@@ -266,7 +278,18 @@ def fit(
     epoch = 0
 
     if prev is not None:
-        if not prev["optimizer-state-dict"]:
+        if prev.get("torch-momentum") is not None:
+            # torch SGD momentum buffers == the optax trace (same
+            # recurrence); graft the imported params-shaped tree into the
+            # fresh opt_state so the trajectory continues seamlessly
+            from deepfluoro_tpu.train.step import inject_momentum_into_opt_state
+
+            log("  importing torch SGD momentum buffers")
+            opt_restored = inject_momentum_into_opt_state(
+                state.opt_state,
+                restore_tree(state.params, prev["torch-momentum"]),
+            )
+        elif not prev["optimizer-state-dict"]:
             # a light best-valid / pre-restart snapshot: params only — keep
             # the fresh optimizer state (warm-starting weights, not momentum)
             log("  checkpoint stores no optimizer state; starting optimizer fresh")

@@ -150,6 +150,34 @@ def make_loss_fn(cfg: TrainConfig, model):
     return loss_fn
 
 
+def inject_momentum_into_opt_state(opt_state, momentum_tree):
+    """Replace the optax ``trace`` state (torch's momentum buffers — the
+    same recurrence, see make_optimizer) inside a freshly initialized
+    opt_state with an imported params-shaped tree. Walks the (possibly
+    nested) chain/inject_hyperparams named-tuple structure; exactly one
+    TraceState must be found (SGD/RMSprop-with-momentum chains have one)."""
+    found = [0]
+
+    def rec(s):
+        if isinstance(s, optax.TraceState):
+            found[0] += 1
+            return optax.TraceState(
+                trace=jax.tree.map(jnp.asarray, momentum_tree)
+            )
+        if isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple
+            return type(s)(*[rec(getattr(s, f)) for f in s._fields])
+        if isinstance(s, tuple):
+            return tuple(rec(x) for x in s)
+        return s
+
+    out = rec(opt_state)
+    assert found[0] == 1, (
+        "expected exactly one optax TraceState in the optimizer chain, "
+        "found {}".format(found[0])
+    )
+    return out
+
+
 def grad_and_update(loss_fn, tx, state: TrainState, proj, seg, heats, lr):
     """value_and_grad + LR injection + optax update -> (new_state, loss).
     Shared tail of every train-step variant."""

@@ -57,6 +57,8 @@ def ref():
             unet=importlib.import_module("unet"),
             dataset=importlib.import_module("dataset"),
             util=importlib.import_module("util"),
+            dice=importlib.import_module("dice"),
+            warm_restarts_lr=importlib.import_module("warm_restarts_lr"),
         )
     finally:
         sys.path.remove(REF_DIR)
@@ -437,6 +439,223 @@ def trained_pts(ref, fixture_h5, tmp_path_factory):
     )
     assert os.path.exists(ck) and os.path.exists(best)
     return [best, ck]
+
+
+# --------------------------------------------------------------------------
+# drop-in migration: RESUME training from a reference .pt (weights +
+# momentum + scheduler + epoch + split)
+# --------------------------------------------------------------------------
+
+RESUME_META = dict(  # the save_net hyperparameter keys (train.py:473-515)
+    **{
+        "optim-type": "sgd", "num-classes": 7, "depth": 2,
+        "init-feats-exp": 3, "batch-norm": False, "padding": True,
+        "no-max-pool": False, "pad-img-size": 24, "batch-size": 2,
+        "data-aug": False, "opt-nesterov": True, "opt-momentum": 0.9,
+        "opt-wgt-decay": 1e-4, "num-lands": 0, "heat-coeff": 0.5,
+        "use-dice-valid": False, "unet-use-res": True, "unet-block-depth": 2,
+        "lrs-meth": "cos", "lrs-num-epochs": 10, "lrs-growth-factor": 2,
+        "lrs-max-num-restarts": -1, "lrs-save-restart-net-prefix": None,
+        "lrs-save-after-n-restarts": 0, "lrs-num-restarts": 0,
+        "lrs-patience": 20, "lrs-cooldown": 20, "checkpoint-freq": 1,
+        "save-best-valid": True, "init-lr": 0.05,
+    }
+)
+
+
+class TestGoldenTorchResume:
+    def _rand_batch(self, rng, b=2, hw=24, c=7):
+        x = rng.standard_normal((b, 1, hw, hw)).astype(np.float32)
+        y = np.transpose(
+            np.eye(c, dtype=np.float32)[rng.integers(0, c, (b, hw, hw))],
+            (0, 3, 1, 2),
+        )
+        return torch.from_numpy(x), torch.from_numpy(y)
+
+    def test_momentum_import_step_parity(self, ref, rng, tmp_path):
+        """Numeric oracle for the momentum-buffer import: torch takes step 1
+        (creating SGD momentum state), we import that checkpoint, both sides
+        take step 2 on the same batch with the same LR — the parameters must
+        land in the same place. Catches a wrong index->parameter mapping, a
+        wrong layout conversion, or a momentum-semantics mismatch."""
+        import jax
+
+        from deepfluoro_tpu.compat.torch_import import (
+            import_torch_checkpoint,
+            torch_checkpoint_to_native,
+        )
+        from deepfluoro_tpu.train.checkpoint import restore_tree
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.step import (
+            inject_momentum_into_opt_state,
+            make_optimizer,
+            make_train_state,
+            make_train_step,
+        )
+
+        torch.manual_seed(3)
+        # do_res=False: the reference's residual += writes onto the block's
+        # ReLU output, which torch autograd rejects without a BN in between
+        # (unet.py:229-232) — training do_res + no-BN is impossible upstream
+        net = ref.unet.UNet(
+            in_channels=1, n_classes=7, depth=2, wf=3, padding=True,
+            batch_norm=False, max_pool=False, num_lands=0, do_res=False,
+            block_depth=2,
+        )
+        net.train()
+        crit = ref.dice.DiceLoss2D(skip_bg=False)
+        opt = torch.optim.SGD(
+            net.parameters(), lr=0.05, momentum=0.9, weight_decay=1e-4,
+            nesterov=True,
+        )
+        x1, y1 = self._rand_batch(rng)
+        x2, y2 = self._rand_batch(rng)
+
+        # torch step 1 -> checkpoint with live momentum buffers
+        opt.zero_grad()
+        crit(net(x1), y1).backward()
+        opt.step()
+        ck_mid = str(tmp_path / "mid.pt")
+        meta = dict(RESUME_META, **{"no-max-pool": True, "unet-use-res": False})
+        torch.save(
+            dict(meta, **{
+                "epoch": 1, "loss": 0.0, "best-valid-loss": 0.9,
+                "model-state-dict": net.state_dict(),
+                "optimizer-state-dict": opt.state_dict(),
+                "scheduler-state-dict": None,
+                "train-idx": [0, 1], "valid-idx": [2],
+            }),
+            ck_mid,
+        )
+
+        # torch step 2
+        opt.zero_grad()
+        crit(net(x2), y2).backward()
+        opt.step()
+        ck_end = str(tmp_path / "end.pt")
+        torch.save(
+            dict(meta, **{
+                "epoch": 2, "loss": 0.0, "best-valid-loss": 0.9,
+                "model-state-dict": net.state_dict(),
+                "optimizer-state-dict": opt.state_dict(),
+                "scheduler-state-dict": None,
+                "train-idx": [0, 1], "valid-idx": [2],
+            }),
+            ck_end,
+        )
+
+        # our step 2 from the imported mid-checkpoint
+        prev = torch_checkpoint_to_native(ck_mid)
+        assert prev["torch-momentum"] is not None
+        assert prev["epoch"] == 1 and prev["train-idx"] == [0, 1]
+        cfg = TrainConfig.from_checkpoint_meta(prev["meta"])
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (24, 24))
+        state = state.replace(
+            params=restore_tree(state.params, prev["model-state-dict"]["params"]),
+            opt_state=inject_momentum_into_opt_state(
+                state.opt_state,
+                restore_tree(state.params, prev["torch-momentum"]),
+            ),
+        )
+        tx = make_optimizer(cfg)
+        step = make_train_step(cfg, model, tx)
+        proj2 = jnp.asarray(np.transpose(x2.numpy(), (0, 2, 3, 1)))
+        seg2 = jnp.asarray(np.transpose(y2.numpy(), (0, 2, 3, 1)))
+        new_state, _loss = step(state, proj2, seg2, None, 0.05)
+
+        # compare against torch's post-step-2 params THROUGH the (forward-
+        # parity-pinned) layout converter
+        _, want_params, _ = import_torch_checkpoint(ck_end)
+        got = jax.tree_util.tree_leaves_with_path(new_state.params)
+        want = dict(jax.tree_util.tree_leaves_with_path(
+            restore_tree(state.params, want_params)
+        ))
+        assert got and len(got) == len(want)
+        for path, leaf in got:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(want[path]), atol=2e-5,
+                err_msg=str(path),
+            )
+
+    def test_warm_restart_sched_state_mapping(self, ref):
+        """Map a REAL mid-flight WarmRestartLR's state into our scheduler:
+        identical current LR and identical 12-epoch continuation (crossing a
+        restart boundary)."""
+        from deepfluoro_tpu.compat.torch_import import _import_torch_sched_state
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.schedules import WarmRestartLR
+
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.05)
+        sched_t = ref.warm_restarts_lr.WarmRestartLR(
+            opt, init_run_period_epochs=3, growth_factor=2
+        )
+        for _ in range(7):
+            sched_t.step()
+
+        state = {
+            "scheduler-state-dict": sched_t.state_dict(),
+            "optimizer-state-dict": opt.state_dict(),
+        }
+        cfg = TrainConfig.from_checkpoint_meta({"lrs-meth": "cos"})
+        mapped = _import_torch_sched_state(state, cfg)
+        sched_j = WarmRestartLR(0.05, init_run_period_epochs=3, growth_factor=2)
+        sched_j.load_state_dict(mapped)
+
+        assert sched_j.get_lr() == pytest.approx(sched_t.get_lr()[0], abs=1e-12)
+        for _ in range(12):
+            sched_t.step()
+            sched_j.step()
+            assert sched_j.just_restarted == sched_t.just_restarted
+            assert sched_j.get_lr() == pytest.approx(
+                sched_t.get_lr()[0], abs=1e-12
+            )
+
+    def test_fit_resumes_from_reference_pt(self, ref, fixture_h5, trained_pts, tmp_path):
+        """fit() pointed at a REAL reference-trained .pt continues training:
+        epoch/split/restart bookkeeping carries over and the next periodic
+        save rewrites the file in the native format (which then resumes
+        natively)."""
+        import shutil
+
+        from deepfluoro_tpu.infer.ensemble import _is_torch_checkpoint
+        from deepfluoro_tpu.train.checkpoint import load_checkpoint
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.loop import fit
+
+        src_ck = trained_pts[1]  # the periodic checkpoint (full state)
+        ck = str(tmp_path / "migrated.pt")
+        shutil.copy(src_ck, ck)
+        ref_state = torch.load(ck, map_location="cpu", weights_only=False)
+
+        # the split RATIO is not stored in reference checkpoints — the CLI
+        # re-passes it and the stored idx take over (train.py:267-271);
+        # same contract here
+        cfg = TrainConfig(
+            max_num_epochs=3, num_lands=14, train_valid_split=0.8, seed=5
+        )
+        out = fit(
+            fixture_h5, [1], cfg,
+            checkpoint_filename=ck,
+            best_valid_filename=str(tmp_path / "best.pt"),
+            train_loss_txt=str(tmp_path / "tl.txt"),
+            valid_loss_txt=str(tmp_path / "vl.txt"),
+            verbose=False,
+        )
+        # resumed at epoch 2 (the reference trained 2), ran to max 3
+        assert out["epoch"] >= 2
+        # the rewritten checkpoint is now native and kept the torch split
+        assert not _is_torch_checkpoint(ck)
+        native = load_checkpoint(ck)
+        assert [int(i) for i in native["train-idx"]] == [
+            int(i) for i in np.asarray(ref_state["train-idx"]).reshape(-1)
+        ]
+        assert [int(i) for i in native["valid-idx"]] == [
+            int(i) for i in np.asarray(ref_state["valid-idx"]).reshape(-1)
+        ]
+        # config round-tripped from the torch meta
+        assert native["meta"]["depth"] == 2
+        assert native["meta"]["pad-img-size"] == 40
 
 
 @pytest.mark.slow
