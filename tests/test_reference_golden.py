@@ -76,6 +76,12 @@ def _install_torchvision_shim():
         # torchvision: float tensors are scaled+TRUNCATED to uint8 unless
         # mode='F' (torchvision/transforms/functional.py to_pil_image)
         t = pic
+        if t.ndim == 3 and t.shape[0] == 3:  # CHW RGB (overlay scripts)
+            if t.is_floating_point() and mode != "F":
+                t = t.mul(255).byte()
+            return PIL.Image.fromarray(
+                t.permute(1, 2, 0).contiguous().cpu().numpy(), "RGB"
+            )
         if t.ndim == 3:
             assert t.shape[0] == 1
             t = t[0]
@@ -85,7 +91,10 @@ def _install_torchvision_shim():
 
     def to_tensor(img):
         arr = np.asarray(img)
-        assert arr.dtype == np.uint8 and arr.ndim == 2
+        assert arr.dtype == np.uint8
+        if arr.ndim == 3:  # HWC RGB -> CHW float
+            return torch.from_numpy(arr.astype(np.float32) / 255.0).permute(2, 0, 1)
+        assert arr.ndim == 2
         return torch.from_numpy(arr.astype(np.float32) / 255.0)[None]
 
     def _get_inverse_affine_matrix(center, angle, translate, scale, shear):
@@ -121,6 +130,20 @@ def _install_torchvision_shim():
         )
         return img.transform((w, h), PIL.Image.AFFINE, matrix, interpolation)
 
+    utils = types.ModuleType("torchvision.utils")
+
+    def save_image(tensor, path, normalize=False):
+        # torchvision.utils.save_image: mul(255).add_(0.5).clamp_(0,255)
+        # — i.e. ROUNDS where to_pil_image truncates
+        assert not normalize
+        nd = (
+            tensor.clone().mul(255).add_(0.5).clamp_(0, 255)
+            .permute(1, 2, 0).to(torch.uint8).numpy()
+        )
+        PIL.Image.fromarray(nd, "RGB").save(path)
+
+    utils.save_image = save_image
+
     tf.to_pil_image = to_pil_image
     tf.to_tensor = to_tensor
     tf.affine = affine
@@ -128,9 +151,11 @@ def _install_torchvision_shim():
     transforms.InterpolationMode = InterpolationMode
     transforms.functional = tf
     tv.transforms = transforms
+    tv.utils = utils
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
     sys.modules["torchvision.transforms.functional"] = tf
+    sys.modules["torchvision.utils"] = utils
 
 
 @pytest.fixture(scope="module")

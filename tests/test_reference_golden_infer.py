@@ -442,6 +442,101 @@ def trained_pts(ref, fixture_h5, tmp_path_factory):
 
 
 # --------------------------------------------------------------------------
+# components 13-14: the real overlay scripts as oracles (runpy, PNG-level)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def overlay_est_file(fixture_h5, tmp_path_factory):
+    """An estimate archive shape-matched to fixture_h5: rolled GT labels and
+    synthetic Gaussian heats (incl. one flat channel to hit the 1e-3
+    range guard)."""
+    d = tmp_path_factory.mktemp("overlay")
+    path = str(d / "est.h5")
+    with h5.File(fixture_h5, "r") as f:
+        gt = f["01/segs"][:]
+    n, hw = gt.shape[0], gt.shape[1]
+    heats = np.zeros((n, NUM_LANDS, hw, hw), np.float32)
+    for i in range(n):
+        for li in range(NUM_LANDS):
+            if (i + li) % 4 == 0:
+                continue  # flat channel -> the <=1e-3 range branch
+            heats[i, li] = _gaussian(hw, (7 * li + i) % hw, (11 * li + 3 * i) % hw)
+    with h5.File(path, "w") as f:
+        f.create_dataset("nn-segs", data=np.roll(gt, 1, axis=1))
+        f.create_dataset("nn-heats", data=heats)
+    return path
+
+
+class TestGoldenOverlayScripts:
+    ATOL = 2  # the reference quantizes to uint8 BEFORE blending and rounds
+    # on save (to_pil_image truncation + save_image +0.5); this framework
+    # blends in float and truncates once — bounded by 2 uint8 levels
+
+    def _png(self, path):
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB")).astype(np.int32)
+
+    def test_overlay_est_ann_parity(self, ref, fixture_h5, overlay_est_file, tmp_path):
+        from deepfluoro_tpu.cli import overlay_est_ann as our_cli
+
+        csv = str(tmp_path / "lands.csv")
+        with open(csv, "w") as f:
+            f.write("pat,proj,land,row,col,time\n")
+            f.write("1,2,0,10,20,0.001\n")   # found -> crosshair
+            f.write("1,2,3,-1,-1,0.001\n")   # not found -> skipped
+            f.write("1,1,1,5,5,0.001\n")     # other projection -> filtered
+        args = [fixture_h5, overlay_est_file, "nn-segs", 1, 2, None,
+                "--lands", "--lands-csv", csv]
+
+        ref_png = str(tmp_path / "ref_ann.png")
+        our_png = str(tmp_path / "our_ann.png")
+        ref_args = list(args)
+        ref_args[5] = ref_png
+        _run_reference_script("overlay_est_ann.py", ref_args)
+        our_args = [str(a) for a in args]
+        our_args[5] = our_png
+        our_cli.main(our_args)
+
+        a, b = self._png(ref_png), self._png(our_png)
+        assert a.shape == b.shape
+        np.testing.assert_array_less(np.abs(a - b).max(), self.ATOL + 1)
+        # the overlay actually drew something colored
+        assert (a[..., 0] != a[..., 1]).any()
+
+    def test_overlay_est_ann_no_seg_no_gt(self, ref, fixture_h5, overlay_est_file, tmp_path):
+        from deepfluoro_tpu.cli import overlay_est_ann as our_cli
+
+        csv = str(tmp_path / "lands2.csv")
+        with open(csv, "w") as f:
+            f.write("pat,proj,land,row,col,time\n")
+            f.write("1,0,2,12,9,0.001\n")
+        ref_png = str(tmp_path / "ref2.png")
+        our_png = str(tmp_path / "our2.png")
+        base = [fixture_h5, overlay_est_file, "nn-segs", 1, 0]
+        tail = ["--lands", "--no-gt-lands", "--no-seg", "--lands-csv", csv]
+        _run_reference_script("overlay_est_ann.py", base + [ref_png] + tail)
+        our_cli.main([str(a) for a in base] + [our_png] + tail)
+        a, b = self._png(ref_png), self._png(our_png)
+        np.testing.assert_array_less(np.abs(a - b).max(), self.ATOL + 1)
+
+    @pytest.mark.parametrize("land_ind", [1, 4], ids=["peaked", "flat"])
+    def test_overlay_est_heat_parity(self, ref, fixture_h5, overlay_est_file, tmp_path, land_ind):
+        """(proj 0, land 4) hits the flat-heat <=1e-3 range guard; (proj 0,
+        land 1) the normal blend."""
+        from deepfluoro_tpu.cli import overlay_est_heat as our_cli
+
+        ref_png = str(tmp_path / "ref_heat_{}.png".format(land_ind))
+        our_png = str(tmp_path / "our_heat_{}.png".format(land_ind))
+        base = [fixture_h5, overlay_est_file, "nn-heats", 1, 0, land_ind]
+        _run_reference_script("overlay_est_heat.py", base + [ref_png])
+        our_cli.main([str(a) for a in base] + [our_png])
+        a, b = self._png(ref_png), self._png(our_png)
+        assert a.shape == b.shape
+        np.testing.assert_array_less(np.abs(a - b).max(), self.ATOL + 1)
+
+
+# --------------------------------------------------------------------------
 # drop-in migration: RESUME training from a reference .pt (weights +
 # momentum + scheduler + epoch + split)
 # --------------------------------------------------------------------------
