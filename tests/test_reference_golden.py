@@ -133,9 +133,23 @@ def _install_torchvision_shim():
     utils = types.ModuleType("torchvision.utils")
 
     def save_image(tensor, path, normalize=False):
-        # torchvision.utils.save_image: mul(255).add_(0.5).clamp_(0,255)
+        # torchvision.utils.save_image: make_grid for batches (nrow=8,
+        # padding=2, pad_value=0), then mul(255).add_(0.5).clamp_(0,255)
         # — i.e. ROUNDS where to_pil_image truncates
         assert not normalize
+        if tensor.ndim == 4:
+            n, c, hh, ww = tensor.shape
+            xmaps = min(8, n)
+            ymaps = (n + xmaps - 1) // xmaps
+            height, width = hh + 2, ww + 2
+            grid = tensor.new_zeros((c, height * ymaps + 2, width * xmaps + 2))
+            for k in range(n):
+                y, x = divmod(k, xmaps)
+                grid[
+                    :, y * height + 2 : y * height + 2 + hh,
+                    x * width + 2 : x * width + 2 + ww,
+                ] = tensor[k]
+            tensor = grid
         nd = (
             tensor.clone().mul(255).add_(0.5).clamp_(0, 255)
             .permute(1, 2, 0).to(torch.uint8).numpy()

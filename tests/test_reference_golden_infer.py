@@ -537,6 +537,73 @@ class TestGoldenOverlayScripts:
 
 
 # --------------------------------------------------------------------------
+# components 15-16: the real examples_dataset overlay scripts as oracles
+# --------------------------------------------------------------------------
+
+EXAMPLES_DIR = "/root/reference/examples_dataset"
+
+
+def _run_example_script(script_name, argv, workdir):
+    """The example scripts take bare sys.argv and write PNGs into the CWD."""
+    old_cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        _run_reference_script(
+            os.path.join("..", "examples_dataset", script_name), argv
+        )
+    finally:
+        os.chdir(old_cwd)
+
+
+class TestGoldenExampleOverlayScripts:
+    ATOL = 2  # same quantization-order bound as TestGoldenOverlayScripts
+
+    def _png(self, path):
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB")).astype(np.int32)
+
+    def test_make_preproc_overlays_parity(self, ref, fixture_h5, tmp_path):
+        from deepfluoro_tpu.cli import make_preproc_overlays as our_cli
+
+        ref_dir = tmp_path / "ref"
+        our_dir = tmp_path / "ours"
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        _run_example_script("make_preproc_overlays.py", [fixture_h5], str(ref_dir))
+        our_cli.main([fixture_h5, str(our_dir)])
+
+        ref_pngs = sorted(p.name for p in ref_dir.glob("*.png"))
+        our_pngs = sorted(p.name for p in our_dir.glob("*.png"))
+        assert ref_pngs == our_pngs == ["01.png"]
+        a = self._png(str(ref_dir / "01.png"))
+        b = self._png(str(our_dir / "01.png"))
+        assert a.shape == b.shape  # same make_grid tiling
+        np.testing.assert_array_less(np.abs(a - b).max(), self.ATOL + 1)
+
+    def test_make_full_res_overlays_parity(self, ref, tmp_path):
+        from deepfluoro_tpu.cli import make_full_res_overlays as our_cli
+        from deepfluoro_tpu.data.fixtures import write_synthetic_fullres_dataset
+
+        fr = str(tmp_path / "fullres.h5")
+        write_synthetic_fullres_dataset(fr, num_specimens=1, num_projs=3)
+        ref_dir = tmp_path / "ref"
+        our_dir = tmp_path / "ours"
+        ref_dir.mkdir()
+        our_dir.mkdir()
+        _run_example_script("make_full_res_overlays.py", [fr], str(ref_dir))
+        our_cli.main([fr, str(our_dir)])
+
+        ref_pngs = sorted(p.name for p in ref_dir.glob("*.png"))
+        our_pngs = sorted(p.name for p in our_dir.glob("*.png"))
+        assert ref_pngs == our_pngs == ["17-1882.png"]
+        a = self._png(str(ref_dir / "17-1882.png"))
+        b = self._png(str(our_dir / "17-1882.png"))
+        assert a.shape == b.shape
+        np.testing.assert_array_less(np.abs(a - b).max(), self.ATOL + 1)
+
+
+# --------------------------------------------------------------------------
 # drop-in migration: RESUME training from a reference .pt (weights +
 # momentum + scheduler + epoch + split)
 # --------------------------------------------------------------------------
