@@ -118,36 +118,76 @@ def import_torch_state_dict(state_dict: dict, cfg: TrainConfig):
     return params, stats
 
 
+def _load_reference_checkpoint(path: str):
+    """torch.load a reference train.py checkpoint and derive the pieces
+    every consumer needs: (raw state, meta, cfg, numpy state-dict, params,
+    batch_stats). The single home of the meta-exclusion rule and of the
+    live-LR recovery: reference checkpoints do not store init-lr as a meta
+    key (only native ones do), so the optimizer param-group LR — which the
+    reference's own resume restores via optimizer.load_state_dict
+    (train.py:355) — is surfaced as meta['init-lr'] (for 'cos'/'plateau'
+    the restored scheduler state overrides it anyway; for 'none' and
+    adam/rmsprop it IS the live LR)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    meta = {
+        k: v for k, v in state.items()
+        if not k.endswith("state-dict") and k not in ("loss",)
+    }
+    groups = (state.get("optimizer-state-dict") or {}).get("param_groups", [])
+    if "init-lr" not in meta and groups and groups[0].get("lr") is not None:
+        meta["init-lr"] = float(groups[0]["lr"])
+    cfg = TrainConfig.from_checkpoint_meta(meta)
+    sd = {k: v.numpy() for k, v in state["model-state-dict"].items()}
+    params, stats = import_torch_state_dict(sd, cfg)
+    return state, meta, cfg, sd, params, stats
+
+
 def import_torch_checkpoint(path: str):
     """Load a reference ``.pt`` checkpoint; returns (cfg, params, batch_stats).
 
     Requires the optional torch dependency (CPU is fine)."""
-    import torch
-
-    state = torch.load(path, map_location="cpu", weights_only=False)
-    meta = {k: v for k, v in state.items() if not k.endswith("state-dict") and k not in ("loss",)}
-    cfg = TrainConfig.from_checkpoint_meta(meta)
-    sd = {k: v.numpy() for k, v in state["model-state-dict"].items()}
-    params, stats = import_torch_state_dict(sd, cfg)
+    _, _, cfg, _, params, stats = _load_reference_checkpoint(path)
     return cfg, params, stats
 
 
 _BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked")
 
+# per-optimizer torch state fields that map onto optax state trees
+# (train/step.py::make_optimizer builds the matching chains):
+#   sgd     momentum_buffer -> trace      (b = m*b + (g + wd*p))
+#   adam    exp_avg/exp_avg_sq -> mu/nu   (+ shared step count)
+#   rmsprop square_avg -> nu; momentum_buffer -> trace
+_OPT_MOMENT_FIELDS = {
+    "sgd": ("momentum_buffer",),
+    "adam": ("exp_avg", "exp_avg_sq"),
+    "rmsprop": ("square_avg", "momentum_buffer"),
+}
 
-def _import_torch_momentum(state: dict, cfg: TrainConfig, sd: dict):
-    """torch SGD momentum buffers -> a params-shaped tree (the optax
-    ``trace`` state; both store b_t = m*b_{t-1} + (g + wd*p), so the values
-    carry over verbatim — only the conv-kernel layouts change).
 
-    torch's optimizer-state-dict keys buffers by a flat parameter index;
+def _import_torch_opt_moments(state: dict, cfg: TrainConfig, sd: dict):
+    """torch optimizer moments -> params-shaped trees for the optax states.
+
+    torch's optimizer-state-dict keys per-param state by a flat index;
     param_groups list those indices in ``net.parameters()`` order, which is
     the model-state-dict key order with the BN buffers removed (both follow
-    module registration order). Params torch has not stepped yet (lazy
-    buffer init) map to zeros — torch's first step sets b_0 = g, identical
-    to optax trace starting from 0."""
+    module registration order). Each moment tensor has its parameter's
+    shape, so it goes through the same layout conversion as the weight it
+    accompanies. Params torch has not stepped yet (lazy state init) map to
+    zeros — torch's first step computes the same value optax reaches from
+    its zero-initialized state.
+
+    Returns {"kind", <field trees...>, "count"} or None when the layout is
+    not the expected single-trajectory shape (caller must warn: the
+    checkpoint DOES hold optimizer state we could not map)."""
     osd = state.get("optimizer-state-dict") or {}
-    if not osd or cfg.optim_type != "sgd" or cfg.momentum <= 0:
+    if not osd:
+        return None
+    fields = _OPT_MOMENT_FIELDS.get(cfg.optim_type, ())
+    if cfg.optim_type in ("sgd", "rmsprop") and cfg.momentum <= 0:
+        fields = tuple(f for f in fields if f != "momentum_buffer")
+    if not fields:
         return None
     param_keys = [
         k for k in state["model-state-dict"] if not k.endswith(_BUFFER_SUFFIXES)
@@ -155,14 +195,27 @@ def _import_torch_momentum(state: dict, cfg: TrainConfig, sd: dict):
     order: list = []
     for g in osd.get("param_groups", []):
         order.extend(g["params"])
-    if len(order) != len(param_keys):  # unexpected layout — warm-start only
+    if len(order) != len(param_keys):  # unexpected layout
         return None
-    buf_sd = dict(sd)  # keep BN running stats for the importer's reads
-    for slot, k in zip(order, param_keys):
-        buf = osd.get("state", {}).get(slot, {}).get("momentum_buffer")
-        buf_sd[k] = np.zeros_like(sd[k]) if buf is None else buf.numpy()
-    momentum, _ = import_torch_state_dict(buf_sd, cfg)
-    return momentum
+
+    out = {"kind": cfg.optim_type}
+    opt_state = osd.get("state", {})
+    for field in fields:
+        buf_sd = dict(sd)  # keep BN running stats for the importer's reads
+        for slot, k in zip(order, param_keys):
+            buf = opt_state.get(slot, {}).get(field)
+            buf_sd[k] = np.zeros_like(sd[k]) if buf is None else buf.numpy()
+        out[field], _ = import_torch_state_dict(buf_sd, cfg)
+
+    # adam bias correction runs on a step count (identical across params;
+    # torch stores it per param, optax as one scalar)
+    steps = [
+        int(opt_state[slot]["step"])
+        for slot in order
+        if slot in opt_state and "step" in opt_state[slot]
+    ]
+    out["count"] = max(steps) if steps else 0
+    return out
 
 
 def _import_torch_sched_state(state: dict, cfg: TrainConfig) -> dict:
@@ -210,20 +263,13 @@ def torch_checkpoint_to_native(path: str) -> dict:
     """Load a reference train.py checkpoint (train.py:473-515) as the SAME
     payload structure train.checkpoint.load_checkpoint returns, so fit()
     resumes training from a reference user's .pt file: weights + BN stats
-    (layout-converted), SGD momentum buffers (under the extra
-    ``torch-momentum`` key — injected into the optax trace by the loop),
-    LR-scheduler state, epoch / best-valid-loss / restart count, and the
-    train/valid split indices."""
-    import torch
-
-    state = torch.load(path, map_location="cpu", weights_only=False)
-    meta = {
-        k: v for k, v in state.items()
-        if not k.endswith("state-dict") and k not in ("loss",)
-    }
-    cfg = TrainConfig.from_checkpoint_meta(meta)
-    sd = {k: v.numpy() for k, v in state["model-state-dict"].items()}
-    params, stats = import_torch_state_dict(sd, cfg)
+    (layout-converted), the optimizer's moment trees (under the extra
+    ``torch-opt-moments`` key — grafted into the optax state by the loop:
+    SGD/RMSprop momentum -> trace, Adam exp_avg/exp_avg_sq/step -> mu/nu/
+    count, RMSprop square_avg -> nu), LR-scheduler state, epoch /
+    best-valid-loss / restart count, live LR, and the train/valid split
+    indices."""
+    state, meta, cfg, sd, params, stats = _load_reference_checkpoint(path)
 
     bvl = state.get("best-valid-loss")
     bvl = np.nan if bvl is None else float(bvl)
@@ -241,9 +287,15 @@ def torch_checkpoint_to_native(path: str) -> dict:
         "lrs-num-restarts": int(state.get("lrs-num-restarts", 0)),
         "model-state-dict": {"params": params, "batch_stats": stats or {}},
         # not representable in the native optax serialized form; the loop
-        # rebuilds opt_state from torch-momentum instead
+        # rebuilds opt_state from torch-opt-moments instead
         "optimizer-state-dict": {},
-        "torch-momentum": _import_torch_momentum(state, cfg, sd),
+        "torch-opt-moments": _import_torch_opt_moments(state, cfg, sd),
+        # distinguishes "nothing to import" from "import failed" for the
+        # loop's logging (a torch checkpoint always has SOME optimizer
+        # state unless saved before any step)
+        "torch-opt-present": bool(
+            (state.get("optimizer-state-dict") or {}).get("state")
+        ),
         "scheduler-state-dict": _import_torch_sched_state(state, cfg),
         "train-idx": _idx_list(state.get("train-idx")),
         "valid-idx": _idx_list(state.get("valid-idx")),

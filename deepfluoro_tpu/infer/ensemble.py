@@ -30,7 +30,11 @@ from deepfluoro_tpu.data.hdf5 import FluoroData
 from deepfluoro_tpu.native import write_dataset_direct
 from deepfluoro_tpu.data.pipeline import BatchIterator
 from deepfluoro_tpu.ops.image import center_crop
-from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree
+from deepfluoro_tpu.train.checkpoint import (
+    is_torch_checkpoint,
+    load_checkpoint,
+    restore_tree,
+)
 from deepfluoro_tpu.train.config import TrainConfig, build_model
 from deepfluoro_tpu.train.step import make_train_state
 
@@ -70,15 +74,8 @@ def _template_dim(cfg: TrainConfig) -> int:
     return s
 
 
-def _is_torch_checkpoint(path: str) -> bool:
-    """Reference ``.pt`` files are torch.save artifacts: a zip archive
-    (``PK``, the modern default) or a bare pickle stream (``\\x80`` PROTO
-    opcode, legacy serialization). This framework's msgpack checkpoints
-    start with a map header for their >2-entry top-level dict (0x82-0x8f
-    fixmap or 0xde/0xdf map16/32), so the magics cannot collide."""
-    with open(path, "rb") as f:
-        magic = f.read(2)
-    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+# format sniffing lives beside the loaders (train/checkpoint.py)
+_is_torch_checkpoint = is_torch_checkpoint
 
 
 def _load_net_from_torch_checkpoint(path: str, verbose: bool = True):

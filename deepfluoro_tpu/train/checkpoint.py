@@ -206,6 +206,17 @@ def save_checkpoint(
     os.replace(tmp, path)
 
 
+def is_torch_checkpoint(path: str) -> bool:
+    """Reference ``.pt`` files are torch.save artifacts: a zip archive
+    (``PK``, the modern default) or a bare pickle stream (``\\x80`` PROTO
+    opcode, legacy serialization). This framework's msgpack checkpoints
+    start with a map header for their >2-entry top-level dict (0x82-0x8f
+    fixmap or 0xde/0xdf map16/32), so the magics cannot collide."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+
+
 def load_checkpoint(path: str) -> dict:
     """Load the raw checkpoint dict. Use ``restore_tree`` to rebuild typed
     pytrees (params/opt_state) from templates."""

@@ -182,9 +182,9 @@ def fit(
         )
     if load_from_checkpoint:
         log("loading state from checkpoint...")
-        from deepfluoro_tpu.infer.ensemble import _is_torch_checkpoint
+        from deepfluoro_tpu.train.checkpoint import is_torch_checkpoint
 
-        if _is_torch_checkpoint(checkpoint_filename):
+        if is_torch_checkpoint(checkpoint_filename):
             # drop-in migration: a reference train.py .pt resumes here —
             # weights/BN stats, SGD momentum, scheduler state, epoch, and
             # split indices all carry over (compat/torch_import.py); the
@@ -278,17 +278,30 @@ def fit(
     epoch = 0
 
     if prev is not None:
-        if prev.get("torch-momentum") is not None:
-            # torch SGD momentum buffers == the optax trace (same
-            # recurrence); graft the imported params-shaped tree into the
-            # fresh opt_state so the trajectory continues seamlessly
-            from deepfluoro_tpu.train.step import inject_momentum_into_opt_state
+        if prev.get("torch-opt-moments") is not None:
+            # torch optimizer moments carry over verbatim (same recurrences;
+            # train/step.py::make_optimizer) — graft the imported params-
+            # shaped trees into the fresh opt_state so the trajectory
+            # continues seamlessly
+            from deepfluoro_tpu.train.step import inject_torch_moments_into_opt_state
 
-            log("  importing torch SGD momentum buffers")
-            opt_restored = inject_momentum_into_opt_state(
-                state.opt_state,
-                restore_tree(state.params, prev["torch-momentum"]),
+            moments = dict(prev["torch-opt-moments"])
+            for k in ("momentum_buffer", "exp_avg", "exp_avg_sq", "square_avg"):
+                if k in moments:
+                    moments[k] = restore_tree(state.params, moments[k])
+            log("  importing torch {} optimizer state".format(moments["kind"]))
+            opt_restored = inject_torch_moments_into_opt_state(
+                state.opt_state, moments
             )
+        elif prev.get("torch-opt-present"):
+            # the torch checkpoint DOES hold optimizer state, but the layout
+            # did not map — warn loudly instead of claiming there was none
+            log(
+                "  WARNING: could not map the torch optimizer state "
+                "(unexpected param-group layout); continuing with a FRESH "
+                "optimizer — weights warm-start, momentum does not"
+            )
+            opt_restored = state.opt_state
         elif not prev["optimizer-state-dict"]:
             # a light best-valid / pre-restart snapshot: params only — keep
             # the fresh optimizer state (warm-starting weights, not momentum)

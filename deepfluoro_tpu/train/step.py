@@ -150,20 +150,35 @@ def make_loss_fn(cfg: TrainConfig, model):
     return loss_fn
 
 
-def inject_momentum_into_opt_state(opt_state, momentum_tree):
-    """Replace the optax ``trace`` state (torch's momentum buffers — the
-    same recurrence, see make_optimizer) inside a freshly initialized
-    opt_state with an imported params-shaped tree. Walks the (possibly
-    nested) chain/inject_hyperparams named-tuple structure; exactly one
-    TraceState must be found (SGD/RMSprop-with-momentum chains have one)."""
-    found = [0]
+def inject_torch_moments_into_opt_state(opt_state, moments: dict):
+    """Graft imported torch optimizer moments (compat/torch_import.py::
+    _import_torch_opt_moments) into a freshly initialized optax opt_state.
+
+    The mappings mirror make_optimizer's chains exactly:
+      sgd     momentum_buffer -> TraceState.trace
+      adam    exp_avg/exp_avg_sq/step -> ScaleByAdamState.mu/nu/count
+      rmsprop square_avg -> ScaleByRmsState.nu; momentum_buffer -> trace
+
+    Walks the (possibly nested) chain/inject_hyperparams named-tuple
+    structure; every state the kind implies must be found exactly once."""
+    kind = moments["kind"]
+    to_tree = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    found: dict = {}
 
     def rec(s):
-        if isinstance(s, optax.TraceState):
-            found[0] += 1
-            return optax.TraceState(
-                trace=jax.tree.map(jnp.asarray, momentum_tree)
+        if isinstance(s, optax.TraceState) and "momentum_buffer" in moments:
+            found["trace"] = found.get("trace", 0) + 1
+            return optax.TraceState(trace=to_tree(moments["momentum_buffer"]))
+        if isinstance(s, optax.ScaleByAdamState) and kind == "adam":
+            found["adam"] = found.get("adam", 0) + 1
+            return optax.ScaleByAdamState(
+                count=jnp.asarray(moments["count"], jnp.int32),
+                mu=to_tree(moments["exp_avg"]),
+                nu=to_tree(moments["exp_avg_sq"]),
             )
+        if isinstance(s, optax.ScaleByRmsState) and kind == "rmsprop":
+            found["rms"] = found.get("rms", 0) + 1
+            return optax.ScaleByRmsState(nu=to_tree(moments["square_avg"]))
         if isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple
             return type(s)(*[rec(getattr(s, f)) for f in s._fields])
         if isinstance(s, tuple):
@@ -171,9 +186,16 @@ def inject_momentum_into_opt_state(opt_state, momentum_tree):
         return s
 
     out = rec(opt_state)
-    assert found[0] == 1, (
-        "expected exactly one optax TraceState in the optimizer chain, "
-        "found {}".format(found[0])
+    expected = {
+        "sgd": {"trace": 1} if "momentum_buffer" in moments else {},
+        "adam": {"adam": 1},
+        "rmsprop": (
+            {"rms": 1, "trace": 1} if "momentum_buffer" in moments else {"rms": 1}
+        ),
+    }[kind]
+    assert found == expected, (
+        "optimizer chain states did not match the imported torch moments: "
+        "found {}, expected {}".format(found, expected)
     )
     return out
 

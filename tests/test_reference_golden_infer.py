@@ -620,7 +620,10 @@ RESUME_META = dict(  # the save_net hyperparameter keys (train.py:473-515)
         "lrs-max-num-restarts": -1, "lrs-save-restart-net-prefix": None,
         "lrs-save-after-n-restarts": 0, "lrs-num-restarts": 0,
         "lrs-patience": 20, "lrs-cooldown": 20, "checkpoint-freq": 1,
-        "save-best-valid": True, "init-lr": 0.05,
+        "save-best-valid": True,
+        # NOTE deliberately NO "init-lr": reference save_net does not store
+        # it (train.py:473-515); the import recovers the live LR from the
+        # optimizer param groups instead
     }
 )
 
@@ -634,12 +637,15 @@ class TestGoldenTorchResume:
         )
         return torch.from_numpy(x), torch.from_numpy(y)
 
-    def test_momentum_import_step_parity(self, ref, rng, tmp_path):
-        """Numeric oracle for the momentum-buffer import: torch takes step 1
-        (creating SGD momentum state), we import that checkpoint, both sides
-        take step 2 on the same batch with the same LR — the parameters must
-        land in the same place. Catches a wrong index->parameter mapping, a
-        wrong layout conversion, or a momentum-semantics mismatch."""
+    @pytest.mark.parametrize("optim", ["sgd", "adam", "rmsprop"])
+    def test_opt_moment_import_step_parity(self, ref, rng, tmp_path, optim):
+        """Numeric oracle for the optimizer-moment import: torch takes step 1
+        (creating momentum/adam/rms state), we import that checkpoint, both
+        sides take step 2 on the same batch with the same LR — the
+        parameters must land in the same place. Catches a wrong
+        index->parameter mapping, a wrong layout conversion, or a moment-
+        semantics mismatch, for each reference optimizer (train.py:331-351).
+        """
         import jax
 
         from deepfluoro_tpu.compat.torch_import import (
@@ -649,7 +655,7 @@ class TestGoldenTorchResume:
         from deepfluoro_tpu.train.checkpoint import restore_tree
         from deepfluoro_tpu.train.config import TrainConfig
         from deepfluoro_tpu.train.step import (
-            inject_momentum_into_opt_state,
+            inject_torch_moments_into_opt_state,
             make_optimizer,
             make_train_state,
             make_train_step,
@@ -666,64 +672,76 @@ class TestGoldenTorchResume:
         )
         net.train()
         crit = ref.dice.DiceLoss2D(skip_bg=False)
-        opt = torch.optim.SGD(
-            net.parameters(), lr=0.05, momentum=0.9, weight_decay=1e-4,
-            nesterov=True,
-        )
+        if optim == "sgd":
+            opt = torch.optim.SGD(
+                net.parameters(), lr=0.05, momentum=0.9, weight_decay=1e-4,
+                nesterov=True,
+            )
+        elif optim == "adam":
+            opt = torch.optim.Adam(net.parameters(), lr=0.01, weight_decay=1e-4)
+        else:
+            opt = torch.optim.RMSprop(
+                net.parameters(), lr=0.01, momentum=0.9, weight_decay=1e-4
+            )
+        lr = opt.param_groups[0]["lr"]
         x1, y1 = self._rand_batch(rng)
         x2, y2 = self._rand_batch(rng)
 
-        # torch step 1 -> checkpoint with live momentum buffers
+        meta = dict(RESUME_META, **{
+            "no-max-pool": True, "unet-use-res": False, "optim-type": optim,
+            # the reference only builds LR schedulers for sgd
+            "lrs-meth": "cos" if optim == "sgd" else "none",
+        })
+
+        def save(path, epoch):
+            torch.save(
+                dict(meta, **{
+                    "epoch": epoch, "loss": 0.0, "best-valid-loss": 0.9,
+                    "model-state-dict": net.state_dict(),
+                    "optimizer-state-dict": opt.state_dict(),
+                    "scheduler-state-dict": None,
+                    "train-idx": [0, 1], "valid-idx": [2],
+                }),
+                path,
+            )
+
+        # torch step 1 -> checkpoint with live optimizer state
         opt.zero_grad()
         crit(net(x1), y1).backward()
         opt.step()
         ck_mid = str(tmp_path / "mid.pt")
-        meta = dict(RESUME_META, **{"no-max-pool": True, "unet-use-res": False})
-        torch.save(
-            dict(meta, **{
-                "epoch": 1, "loss": 0.0, "best-valid-loss": 0.9,
-                "model-state-dict": net.state_dict(),
-                "optimizer-state-dict": opt.state_dict(),
-                "scheduler-state-dict": None,
-                "train-idx": [0, 1], "valid-idx": [2],
-            }),
-            ck_mid,
-        )
+        save(ck_mid, 1)
 
         # torch step 2
         opt.zero_grad()
         crit(net(x2), y2).backward()
         opt.step()
         ck_end = str(tmp_path / "end.pt")
-        torch.save(
-            dict(meta, **{
-                "epoch": 2, "loss": 0.0, "best-valid-loss": 0.9,
-                "model-state-dict": net.state_dict(),
-                "optimizer-state-dict": opt.state_dict(),
-                "scheduler-state-dict": None,
-                "train-idx": [0, 1], "valid-idx": [2],
-            }),
-            ck_end,
-        )
+        save(ck_end, 2)
 
         # our step 2 from the imported mid-checkpoint
         prev = torch_checkpoint_to_native(ck_mid)
-        assert prev["torch-momentum"] is not None
+        assert prev["torch-opt-moments"] is not None
+        assert prev["torch-opt-present"]
         assert prev["epoch"] == 1 and prev["train-idx"] == [0, 1]
+        # the live LR is recovered even without scheduler state
+        assert prev["meta"]["init-lr"] == pytest.approx(lr)
         cfg = TrainConfig.from_checkpoint_meta(prev["meta"])
+        assert cfg.init_lr == pytest.approx(lr)
         model, state = make_train_state(cfg, jax.random.PRNGKey(0), (24, 24))
+        moments = dict(prev["torch-opt-moments"])
+        for k in ("momentum_buffer", "exp_avg", "exp_avg_sq", "square_avg"):
+            if k in moments:
+                moments[k] = restore_tree(state.params, moments[k])
         state = state.replace(
             params=restore_tree(state.params, prev["model-state-dict"]["params"]),
-            opt_state=inject_momentum_into_opt_state(
-                state.opt_state,
-                restore_tree(state.params, prev["torch-momentum"]),
-            ),
+            opt_state=inject_torch_moments_into_opt_state(state.opt_state, moments),
         )
         tx = make_optimizer(cfg)
         step = make_train_step(cfg, model, tx)
         proj2 = jnp.asarray(np.transpose(x2.numpy(), (0, 2, 3, 1)))
         seg2 = jnp.asarray(np.transpose(y2.numpy(), (0, 2, 3, 1)))
-        new_state, _loss = step(state, proj2, seg2, None, 0.05)
+        new_state, _loss = step(state, proj2, seg2, None, lr)
 
         # compare against torch's post-step-2 params THROUGH the (forward-
         # parity-pinned) layout converter
