@@ -300,3 +300,278 @@ def torch_checkpoint_to_native(path: str) -> dict:
         "train-idx": _idx_list(state.get("train-idx")),
         "valid-idx": _idx_list(state.get("valid-idx")),
     }
+
+
+# ---------------------------------------------------------------------------
+# export: this framework's checkpoints -> reference .pt files
+# ---------------------------------------------------------------------------
+
+def _conv_w_inv(k):
+    return np.ascontiguousarray(np.transpose(np.asarray(k), (3, 2, 0, 1)))
+
+
+def _convT_w_inv(k):
+    # inverse of _convT_w: unflip spatial, (kh,kw,in,out) -> (in,out,kh,kw)
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(k)[::-1, ::-1], (2, 3, 0, 1))
+    )
+
+
+def _export_entries(cfg: TrainConfig, params: dict):
+    """Yield (torch_name_prefix, kind, flax_path) in the reference UNet's
+    module REGISTRATION order (unet.py:79-159: downsample_convs assigned
+    before down_path; res_conv1x1 before block within UNetConvBlock) — the
+    order torch's state_dict() and parameters() both follow, which the
+    optimizer param indices key into.
+
+    kinds: conv (weight+bias), conv_nobias, convT, bn, dead_conv (the
+    never-used deepest downsample conv the reference allocates,
+    unet.py:92-93 — synthesized as zeros on export since import drops it).
+    """
+    stride = 3 if cfg.batch_norm else 2
+
+    def block_entries(torch_prefix, flax_prefix):
+        if cfg.use_res:
+            yield ("{}.res_conv1x1".format(torch_prefix), "conv",
+                   flax_prefix + ("res_conv1x1",))
+        for d in range(cfg.block_depth):
+            ci = d * stride
+            yield ("{}.block.{}".format(torch_prefix, ci), "conv",
+                   flax_prefix + ("conv_{}".format(d),))
+            if cfg.batch_norm:
+                yield ("{}.block.{}".format(torch_prefix, ci + 2), "bn",
+                       flax_prefix + ("bn_{}".format(d),))
+
+    if cfg.no_max_pool:
+        for i in range(cfg.depth):
+            if i < cfg.depth - 1:
+                yield ("downsample_convs.{}".format(i), "conv",
+                       ("downsample_conv_{}".format(i),))
+            else:
+                yield ("downsample_convs.{}".format(i), "dead_conv", None)
+    for i in range(cfg.depth):
+        yield from block_entries("down_path.{}".format(i), ("down_{}".format(i),))
+    for k in range(cfg.depth - 1):
+        yield ("up_path.{}.up".format(k), "convT", ("up_{}".format(k), "up_conv"))
+        yield from block_entries(
+            "up_path.{}.conv_block".format(k), ("up_{}".format(k), "conv_block")
+        )
+    yield ("seg_conv", "conv_nobias", ("seg_conv",))
+    if cfg.num_lands > 0:
+        d = 0
+        while "lands_block_{}".format(d) in params:
+            yield ("lands_block.{}".format(d), "conv",
+                   ("lands_block_{}".format(d),))
+            d += 1
+        j = 0
+        while "lands_1x1_{}".format(j) in params:
+            yield ("lands_1x1.{}".format(j), "conv_nobias",
+                   ("lands_1x1_{}".format(j),))
+            j += 1
+
+
+def _tree_get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def export_torch_state_dict(cfg: TrainConfig, params: dict, batch_stats: dict):
+    """(params, batch_stats) -> a reference-named torch state dict (numpy
+    values; caller tensors them) plus the ordered parameter paths (the
+    ``net.parameters()`` order, for optimizer-state export)."""
+    sd: dict = {}
+    param_paths: list = []  # (flax_path, transform) per torch PARAMETER
+
+    for prefix, kind, path in _export_entries(cfg, params):
+        if kind == "dead_conv":
+            c = 2 ** (cfg.init_feats_exp + cfg.depth - 1)
+            sd[prefix + ".weight"] = np.zeros((c, c, 2, 2), np.float32)
+            sd[prefix + ".bias"] = np.zeros((c,), np.float32)
+            param_paths.append(None)
+            param_paths.append(None)
+        elif kind in ("conv", "conv_nobias"):
+            leaf = _tree_get(params, path)
+            sd[prefix + ".weight"] = _conv_w_inv(leaf["kernel"])
+            param_paths.append((path + ("kernel",), _conv_w_inv))
+            if kind == "conv":
+                sd[prefix + ".bias"] = np.asarray(leaf["bias"])
+                param_paths.append((path + ("bias",), np.asarray))
+        elif kind == "convT":
+            leaf = _tree_get(params, path)
+            sd[prefix + ".weight"] = _convT_w_inv(leaf["kernel"])
+            sd[prefix + ".bias"] = np.asarray(leaf["bias"])
+            param_paths.append((path + ("kernel",), _convT_w_inv))
+            param_paths.append((path + ("bias",), np.asarray))
+        elif kind == "bn":
+            leaf = _tree_get(params, path)
+            stats = _tree_get(batch_stats, path)
+            sd[prefix + ".weight"] = np.asarray(leaf["scale"])
+            sd[prefix + ".bias"] = np.asarray(leaf["bias"])
+            sd[prefix + ".running_mean"] = np.asarray(stats["mean"])
+            sd[prefix + ".running_var"] = np.asarray(stats["var"])
+            # count unknown (torch only consults it with momentum=None;
+            # the reference uses the default momentum)
+            sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+            param_paths.append((path + ("scale",), np.asarray))
+            param_paths.append((path + ("bias",), np.asarray))
+    return sd, param_paths
+
+
+def _export_torch_opt_state(cfg, opt_state, param_paths, lr):
+    """Typed optax opt_state -> a torch optimizer state dict the reference's
+    ``optimizer.load_state_dict`` accepts (train.py:355), with each moment
+    converted through its parameter's layout transform."""
+    import optax
+
+    moment_map: dict = {}  # torch field -> params-shaped tree
+
+    def collect(s):
+        if isinstance(s, optax.TraceState):
+            moment_map["momentum_buffer"] = s.trace
+        elif isinstance(s, optax.ScaleByAdamState):
+            moment_map["exp_avg"] = s.mu
+            moment_map["exp_avg_sq"] = s.nu
+            moment_map["step"] = int(s.count)
+        elif isinstance(s, optax.ScaleByRmsState):
+            moment_map["square_avg"] = s.nu
+        elif isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple
+            for f in s._fields:
+                collect(getattr(s, f))
+        elif isinstance(s, tuple):
+            for x in s:
+                collect(x)
+
+    collect(opt_state)
+    step = moment_map.pop("step", None)
+
+    state: dict = {}
+    for idx, pp in enumerate(param_paths):
+        if pp is None:  # the dead downsample conv: no optimizer state
+            continue
+        path, transform = pp
+        entry = {}
+        for field, tree in moment_map.items():
+            entry[field] = transform(_tree_get(tree, path[:-1])[path[-1]])
+        if cfg.optim_type == "adam" and step is not None:
+            entry["step"] = step
+        if entry:
+            state[idx] = entry
+
+    group = {
+        "lr": float(lr),
+        "weight_decay": float(cfg.wgt_decay),
+        "params": list(range(len(param_paths))),
+    }
+    if cfg.optim_type == "sgd":
+        group.update(momentum=float(cfg.momentum), dampening=0.0,
+                     nesterov=bool(cfg.nesterov))
+    elif cfg.optim_type == "adam":
+        group.update(betas=(0.9, 0.999), eps=1e-8, amsgrad=False)
+    else:
+        group.update(alpha=0.99, eps=1e-8, momentum=float(cfg.momentum),
+                     centered=False)
+    return {"state": state, "param_groups": [group]}
+
+
+def _export_torch_sched_state(cfg: TrainConfig, sched: dict, lr: float):
+    """Inverse of _import_torch_sched_state; torch schedulers load via
+    __dict__.update so our field names (== warm_restarts_lr.py attributes)
+    carry over, plus the torch-side list-valued fields."""
+    if not sched:
+        return None
+    out = dict(sched)
+    if cfg.lr_sched_meth == "cos":
+        out["base_lrs"] = [float(out.pop("base_lr", cfg.init_lr))]
+    elif cfg.lr_sched_meth == "plateau":
+        out["min_lrs"] = [float(out.pop("min_lr", 0.0))]
+        out.pop("lr", None)
+        out.setdefault("mode", "min")
+        out.setdefault("threshold_mode", "rel")
+        out.setdefault("mode_worse", float("inf"))
+        out.setdefault("eps", 1e-8)
+        out.setdefault("last_epoch", 0)
+    return out
+
+
+def export_torch_checkpoint(native, out_path: str, sample_hw: int | None = None):
+    """Write a checkpoint the REFERENCE stack loads as its own: test_ensemble
+    rebuilds the net from it (test_ensemble.py:61-107) and train.py RESUMES
+    from it (train.py:191-361) — model weights/BN stats in reference naming
+    and layouts, optimizer moments (reverse of the import mapping),
+    scheduler state, and every save_net meta key (train.py:473-515).
+
+    ``native``: path to a native checkpoint file, or its loaded payload.
+    Requires torch (CPU is fine)."""
+    import torch
+
+    from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree
+    from deepfluoro_tpu.train.step import make_optimizer, make_train_state
+    import jax
+
+    payload = load_checkpoint(native) if isinstance(native, str) else native
+    cfg = TrainConfig.from_checkpoint_meta(payload["meta"])
+    params = payload["model-state-dict"]["params"]
+    stats = payload["model-state-dict"].get("batch_stats") or {}
+
+    sd, param_paths = export_torch_state_dict(cfg, params, stats)
+
+    sched = payload.get("scheduler-state-dict") or {}
+    # live LR: from the scheduler where it tracks one, else the last LR the
+    # optimizer ran with (inject_hyperparams stores it), else init-lr
+    lr = cfg.init_lr
+    if cfg.lr_sched_meth == "plateau" and "lr" in sched:
+        lr = float(sched["lr"])
+
+    opt_sd = {"state": {}, "param_groups": []}
+    if payload.get("optimizer-state-dict"):
+        # rebuild the typed opt_state from a template to walk its states
+        dim = sample_hw or max(int(cfg.proj_unet_dim), 2 ** (cfg.depth + 2))
+        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(0), (dim, dim))
+        opt_state = restore_tree(tmpl.opt_state, payload["optimizer-state-dict"])
+        try:
+            lr = float(opt_state.hyperparams["learning_rate"])
+        except (AttributeError, KeyError, TypeError):
+            pass
+        opt_sd = _export_torch_opt_state(cfg, opt_state, param_paths, lr)
+    else:
+        opt_sd = _export_torch_opt_state(cfg, None, param_paths, lr)
+
+    bvl = payload.get("best-valid-loss")
+    ck = dict(cfg.to_checkpoint_meta())
+    # native-only meta keys would confuse nothing (the reference reads by
+    # key), but drop the ones whose names it never defined anyway
+    for k in ("light-best-nets", "compute-dtype"):
+        ck.pop(k, None)
+    ck.update({
+        "epoch": int(payload.get("epoch", 0)),
+        # copy=True: msgpack-restored arrays are read-only views and torch
+        # tensors must own writable memory
+        "model-state-dict": {k: torch.from_numpy(np.array(v, copy=True))
+                             for k, v in sd.items()},
+        "optim-type": cfg.optim_type,
+        "optimizer-state-dict": {
+            "state": {
+                i: {f: (torch.tensor(float(v)) if f == "step"
+                        else torch.from_numpy(np.array(v, copy=True)))
+                    for f, v in e.items()}
+                for i, e in opt_sd["state"].items()
+            },
+            "param_groups": opt_sd["param_groups"],
+        },
+        "scheduler-state-dict": _export_torch_sched_state(cfg, sched, lr),
+        # the reference stores the live loss TENSOR and calls .item() on it
+        # when loading (test_ensemble.py:92)
+        "loss": torch.tensor(float(payload.get("loss", -1.0))),
+        "best-valid-loss": (float("inf") if bvl is None or np.isnan(bvl)
+                            else float(bvl)),
+        "lrs-num-restarts": int(payload.get("lrs-num-restarts", 0)),
+        "train-idx": list(payload.get("train-idx") or []),
+        "valid-idx": list(payload.get("valid-idx") or []),
+    })
+    tmp = "{}.tmp".format(out_path)
+    torch.save(ck, tmp)
+    import shutil
+
+    shutil.move(tmp, out_path)
+    return out_path

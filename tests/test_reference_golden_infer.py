@@ -410,6 +410,204 @@ class TestGoldenDiceScript:
 
 
 # --------------------------------------------------------------------------
+# reverse migration: checkpoints trained HERE, consumed by the REAL
+# reference stack (export_torch_checkpoint)
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def native_trained(fixture_h5, tmp_path_factory):
+    """A native checkpoint from a real (tiny) fit() run: live BN stats,
+    SGD momentum in the opt state, cos scheduler state, split indices."""
+    from deepfluoro_tpu.train.config import TrainConfig
+    from deepfluoro_tpu.train.loop import fit
+
+    d = tmp_path_factory.mktemp("native_train")
+    ck = str(d / "native_ck.pt")
+    cfg = TrainConfig(
+        num_classes=7, depth=2, init_feats_exp=3, batch_norm=True,
+        padding=True, no_max_pool=True, num_lands=NUM_LANDS,
+        proj_unet_dim=PAD_DIM, batch_size=4, max_num_epochs=2,
+        init_lr=0.01, momentum=0.9, nesterov=True, wgt_decay=1e-4,
+        lr_sched_meth="cos", lrs_num_epochs=10, train_valid_split=0.8,
+        use_res=True, block_depth=2, seed=9,
+    )
+    fit(
+        fixture_h5, [1], cfg,
+        checkpoint_filename=ck,
+        best_valid_filename=str(d / "best.pt"),
+        train_loss_txt=str(d / "tl.txt"),
+        valid_loss_txt=str(d / "vl.txt"),
+        verbose=False,
+    )
+    return ck
+
+
+class TestGoldenTorchExport:
+    @pytest.mark.parametrize(
+        "tkw",
+        [
+            dict(depth=2, wf=3, padding=True, batch_norm=True, max_pool=False,
+                 num_lands=14, do_res=True, block_depth=2),
+            dict(depth=3, wf=2, padding=True, batch_norm=False, max_pool=True,
+                 num_lands=0, do_res=True, block_depth=3),
+            dict(depth=2, wf=3, padding=True, batch_norm=True, max_pool=False,
+                 num_lands=0, do_res=False, block_depth=1),
+        ],
+        ids=["paper_style", "maxpool_deep", "no_res"],
+    )
+    def test_exported_names_match_real_net(self, ref, tkw):
+        """The exported state dict must list exactly the real reference
+        net's keys IN REGISTRATION ORDER (torch's parameters() order keys
+        the optimizer state) with matching shapes."""
+        import jax
+
+        from deepfluoro_tpu.compat.torch_import import export_torch_state_dict
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.step import make_train_state
+
+        net = ref.unet.UNet(in_channels=1, n_classes=7, **tkw)
+        cfg = TrainConfig(
+            num_classes=7, depth=tkw["depth"], init_feats_exp=tkw["wf"],
+            padding=tkw["padding"], batch_norm=tkw["batch_norm"],
+            no_max_pool=not tkw["max_pool"], num_lands=tkw["num_lands"],
+            use_res=tkw["do_res"], block_depth=tkw["block_depth"],
+            proj_unet_dim=32,
+        )
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        sd, param_paths = export_torch_state_dict(
+            cfg, state.params, state.batch_stats
+        )
+        want = net.state_dict()
+        assert list(sd.keys()) == list(want.keys())
+        for k in sd:
+            assert tuple(sd[k].shape) == tuple(want[k].shape), k
+        # parameter ordering: one path per real net parameter
+        assert len(param_paths) == len(list(net.parameters()))
+
+    def test_reference_stack_runs_our_export(self, ref, fixture_h5, native_trained, tmp_path):
+        """Reverse migration end-to-end: export a checkpoint our fit()
+        trained, run the REAL test_ensemble.py on it, and compare its
+        archive against our own CLI on the native file — same model, two
+        stacks, matching outputs."""
+        from deepfluoro_tpu.cli import export_torch_net, test_ensemble as our_cli
+
+        exported = str(tmp_path / "exported.pt")
+        export_torch_net.main([native_trained, exported])
+
+        ref_out = str(tmp_path / "ref_out.h5")
+        our_out = str(tmp_path / "our_out.h5")
+        _run_reference_script(
+            "test_ensemble.py",
+            [fixture_h5, ref_out, "--pats", "1", "--no-gpu",
+             "--nets", exported, exported],
+        )
+        our_cli.main(
+            [fixture_h5, our_out, "--pats", "1",
+             "--nets", native_trained, native_trained]
+        )
+        with h5.File(ref_out, "r") as fr, h5.File(our_out, "r") as fo:
+            segs_ref, segs_our = fr["nn-segs"][:], fo["nn-segs"][:]
+            heats_ref, heats_our = fr["nn-heats"][:], fo["nn-heats"][:]
+        mismatch = float(np.mean(segs_ref != segs_our))
+        assert mismatch <= 0.002, mismatch
+        np.testing.assert_allclose(heats_our, heats_ref, atol=2e-4)
+
+    def test_real_train_resumes_from_our_export(self, ref, fixture_h5, native_trained, tmp_path):
+        """The REAL train.py resumes from our exported checkpoint: strict
+        load_state_dict over model + optimizer (momentum buffers land on
+        shape-matched params) + scheduler, then trains a further epoch."""
+        import shutil
+
+        from deepfluoro_tpu.cli import export_torch_net
+        from deepfluoro_tpu.train.checkpoint import load_checkpoint
+
+        epoch = int(load_checkpoint(native_trained)["epoch"])
+        exported = str(tmp_path / "resume_me.pt")
+        export_torch_net.main([native_trained, exported])
+        before = os.path.getmtime(exported)
+
+        _run_reference_script(
+            "train.py",
+            [
+                fixture_h5, "--train-pats", "1", "--num-classes", "7",
+                "--max-num-epochs", str(epoch + 1), "--no-gpu",
+                "--train-valid-split", "0.8",
+                "--checkpoint-net", exported,
+                "--best-net", str(tmp_path / "ref_best.pt"),
+                "--train-loss-txt", str(tmp_path / "tl.txt"),
+                "--valid-loss-txt", str(tmp_path / "vl.txt"),
+            ],
+        )
+        # it trained and re-checkpointed (as its own torch format)
+        assert os.path.getmtime(exported) > before
+        resumed = torch.load(exported, map_location="cpu", weights_only=False)
+        assert int(resumed["epoch"]) == epoch + 1
+        assert resumed["batch-norm"] is True and resumed["depth"] == 2
+
+    def test_export_import_round_trip(self, native_trained, tmp_path):
+        """export -> import returns bit-identical params, BN stats, and
+        momentum buffers (the two layout conversions are exact inverses)."""
+        import jax
+
+        from deepfluoro_tpu.cli import export_torch_net
+        from deepfluoro_tpu.compat.torch_import import torch_checkpoint_to_native
+        from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.step import make_train_state
+
+        exported = str(tmp_path / "rt.pt")
+        export_torch_net.main([native_trained, exported])
+
+        orig = load_checkpoint(native_trained)
+        back = torch_checkpoint_to_native(exported)
+
+        def leaves(t):
+            return {
+                jax.tree_util.keystr(p): np.asarray(l)
+                for p, l in jax.tree_util.tree_leaves_with_path(t)
+            }
+
+        a = leaves(orig["model-state-dict"]["params"])
+        b = leaves(back["model-state-dict"]["params"])
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        sa = leaves(orig["model-state-dict"]["batch_stats"])
+        sb = leaves(back["model-state-dict"]["batch_stats"])
+        assert sa.keys() == sb.keys()
+        for k in sa:
+            np.testing.assert_array_equal(sa[k], sb[k], err_msg=k)
+
+        # momentum: original typed trace vs re-imported tree
+        import optax
+
+        cfg = TrainConfig.from_checkpoint_meta(orig["meta"])
+        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(0), (PAD_DIM, PAD_DIM))
+        opt_state = restore_tree(tmpl.opt_state, orig["optimizer-state-dict"])
+
+        def find_trace(s):
+            if isinstance(s, optax.TraceState):
+                return s.trace
+            if isinstance(s, tuple):
+                fields = getattr(s, "_fields", None)
+                for x in ([getattr(s, f) for f in fields] if fields else s):
+                    r = find_trace(x)
+                    if r is not None:
+                        return r
+            return None
+
+        trace = find_trace(opt_state)
+        assert trace is not None
+        moments = back["torch-opt-moments"]
+        assert moments is not None and moments["kind"] == "sgd"
+        ta = leaves(trace)
+        tb = leaves(moments["momentum_buffer"])
+        assert len(ta) == len(tb)
+        for (ka, va), (kb, vb) in zip(sorted(ta.items()), sorted(tb.items())):
+            np.testing.assert_array_equal(va, vb, err_msg="{} vs {}".format(ka, kb))
+
+
+# --------------------------------------------------------------------------
 # drop-in migration: checkpoints TRAINED by the real train.py, consumed by
 # this framework's test_ensemble CLI
 # --------------------------------------------------------------------------
