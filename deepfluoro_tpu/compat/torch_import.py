@@ -453,8 +453,12 @@ def _export_torch_opt_state(cfg, opt_state, param_paths, lr):
         entry = {}
         for field, tree in moment_map.items():
             entry[field] = transform(_tree_get(tree, path[:-1])[path[-1]])
-        if cfg.optim_type == "adam" and step is not None:
-            entry["step"] = step
+        if entry and cfg.optim_type in ("adam", "rmsprop"):
+            # torch's Adam/RMSprop __setstate__ dereferences per-param
+            # 'step' for every non-empty state entry; RMSprop tracks it but
+            # never reads it in the update (no bias correction), so 0 is
+            # functionally identical when optax carries no count.
+            entry["step"] = step if step is not None else 0
         if entry:
             state[idx] = entry
 
@@ -479,7 +483,10 @@ def _export_torch_sched_state(cfg: TrainConfig, sched: dict, lr: float):
     __dict__.update so our field names (== warm_restarts_lr.py attributes)
     carry over, plus the torch-side list-valued fields."""
     if not sched:
-        return None
+        # {} (not None): train.py:355 load_state_dicts unconditionally when a
+        # scheduler exists, and __dict__.update({}) is a harmless no-op while
+        # update(None) raises. Light (params-only) checkpoints hit this.
+        return {}
     out = dict(sched)
     if cfg.lr_sched_meth == "cos":
         out["base_lrs"] = [float(out.pop("base_lr", cfg.init_lr))]
@@ -506,7 +513,7 @@ def export_torch_checkpoint(native, out_path: str, sample_hw: int | None = None)
     import torch
 
     from deepfluoro_tpu.train.checkpoint import load_checkpoint, restore_tree
-    from deepfluoro_tpu.train.step import make_optimizer, make_train_state
+    from deepfluoro_tpu.train.step import make_train_state
     import jax
 
     payload = load_checkpoint(native) if isinstance(native, str) else native
@@ -523,12 +530,14 @@ def export_torch_checkpoint(native, out_path: str, sample_hw: int | None = None)
     if cfg.lr_sched_meth == "plateau" and "lr" in sched:
         lr = float(sched["lr"])
 
-    opt_sd = {"state": {}, "param_groups": []}
     if payload.get("optimizer-state-dict"):
-        # rebuild the typed opt_state from a template to walk its states
+        # rebuild the typed opt_state structure to walk its states; eval_shape
+        # gives the same pytree for free (no init forward on the host)
         dim = sample_hw or max(int(cfg.proj_unet_dim), 2 ** (cfg.depth + 2))
-        _, tmpl = make_train_state(cfg, jax.random.PRNGKey(0), (dim, dim))
-        opt_state = restore_tree(tmpl.opt_state, payload["optimizer-state-dict"])
+        tmpl_opt = jax.eval_shape(
+            lambda: make_train_state(cfg, jax.random.PRNGKey(0), (dim, dim))[1].opt_state
+        )
+        opt_state = restore_tree(tmpl_opt, payload["optimizer-state-dict"])
         try:
             lr = float(opt_state.hyperparams["learning_rate"])
         except (AttributeError, KeyError, TypeError):

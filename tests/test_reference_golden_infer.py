@@ -606,6 +606,102 @@ class TestGoldenTorchExport:
         for (ka, va), (kb, vb) in zip(sorted(ta.items()), sorted(tb.items())):
             np.testing.assert_array_equal(va, vb, err_msg="{} vs {}".format(ka, kb))
 
+    @pytest.mark.parametrize("optim", ["rmsprop", "adam"])
+    def test_real_optimizer_loads_exported_moments(self, ref, tmp_path, optim):
+        """torch Adam/RMSprop ``__setstate__`` dereferences a per-param
+        ``step`` for every non-empty state entry; the export must provide one
+        even though RMSprop never reads it in the update math (regression:
+        rmsprop exports used to crash the reference's resume at
+        train.py:355 with KeyError 'step')."""
+        import jax
+
+        from deepfluoro_tpu.compat.torch_import import export_torch_checkpoint
+        from deepfluoro_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.step import make_optimizer, make_train_state
+
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=False,
+            padding=True, no_max_pool=False, num_lands=0, proj_unet_dim=32,
+            use_res=False, block_depth=1, optim_type=optim, init_lr=0.01,
+            momentum=0.9, wgt_decay=1e-4, lr_sched_meth="none",
+        )
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        # one real update so the moment trees are non-empty
+        tx = make_optimizer(cfg)
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        _, opt_state = tx.update(grads, state.opt_state, state.params)
+
+        native = str(tmp_path / "native_{}.pt".format(optim))
+        save_checkpoint(
+            native, meta=cfg.to_checkpoint_meta(), params=state.params,
+            batch_stats=state.batch_stats, opt_state=opt_state, epoch=1,
+        )
+        exported = str(tmp_path / "exported_{}.pt".format(optim))
+        export_torch_checkpoint(load_checkpoint(native), exported)
+
+        net = ref.unet.UNet(
+            in_channels=1, n_classes=7, depth=2, wf=2, padding=True,
+            batch_norm=False, max_pool=True, num_lands=0, do_res=False,
+            block_depth=1,
+        )
+        if optim == "adam":
+            opt = torch.optim.Adam(net.parameters(), lr=0.01, weight_decay=1e-4)
+        else:
+            opt = torch.optim.RMSprop(
+                net.parameters(), lr=0.01, weight_decay=1e-4, momentum=0.9
+            )
+        ck = torch.load(exported, map_location="cpu", weights_only=False)
+        net.load_state_dict(ck["model-state-dict"])
+        # the exact call the reference resume makes (train.py:355)
+        opt.load_state_dict(ck["optimizer-state-dict"])
+        for st in opt.state_dict()["state"].values():
+            assert "step" in st
+
+    def test_light_checkpoint_export_loads_fresh_scheduler(self, ref, tmp_path):
+        """Light (params-only) native checkpoints carry no scheduler state;
+        the export must emit ``{}`` — the reference unconditionally calls
+        ``lr_sched.load_state_dict(ck['scheduler-state-dict'])`` when a
+        scheduler exists (train.py:355-358) and ``__dict__.update(None)``
+        raises (regression)."""
+        import jax
+
+        from deepfluoro_tpu.compat.torch_import import export_torch_checkpoint
+        from deepfluoro_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+        from deepfluoro_tpu.train.config import TrainConfig
+        from deepfluoro_tpu.train.step import make_train_state
+
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=False,
+            padding=True, no_max_pool=False, num_lands=0, proj_unet_dim=32,
+            use_res=False, block_depth=1, optim_type="sgd", init_lr=0.1,
+            momentum=0.9, nesterov=True, lr_sched_meth="cos",
+            lrs_num_epochs=10,
+        )
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        light = str(tmp_path / "light.pt")
+        save_checkpoint(
+            light, meta=cfg.to_checkpoint_meta(), params=state.params,
+            batch_stats=state.batch_stats, opt_state=None, sched_state=None,
+            epoch=3,
+        )
+        exported = str(tmp_path / "light_exported.pt")
+        export_torch_checkpoint(load_checkpoint(light), exported)
+
+        ck = torch.load(exported, map_location="cpu", weights_only=False)
+        assert ck["scheduler-state-dict"] == {}
+
+        net = ref.unet.UNet(
+            in_channels=1, n_classes=7, depth=2, wf=2, padding=True,
+            batch_norm=False, max_pool=True, num_lands=0, do_res=False,
+            block_depth=1,
+        )
+        opt = torch.optim.SGD(net.parameters(), lr=0.1, momentum=0.9, nesterov=True)
+        sched = ref.warm_restarts_lr.WarmRestartLR(opt, init_run_period_epochs=10)
+        # the exact resume sequence (train.py:354-358): no-op fresh scheduler
+        sched.load_state_dict(ck["scheduler-state-dict"])
+        assert sched.cur_run_period_epochs == 10
+
 
 # --------------------------------------------------------------------------
 # drop-in migration: checkpoints TRAINED by the real train.py, consumed by
