@@ -33,9 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from deepfluoro_tpu.utils.platform import select_platform
+    from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
 
     select_platform()
+    enable_compilation_cache()
 
     land_names = get_land_names_from_dataset(args.heat_file_path)
 

@@ -52,7 +52,10 @@ def main(argv=None):
     est_seg = None
     if not args.no_seg:
         with h5.File(args.seg_file, "r") as f:
-            est_seg = f[args.seg_group][:][args.proj_ind]
+            # one-chunk read: nn-segs is gzip-9 with per-image chunks, so
+            # indexing the dataset directly inflates a single frame instead
+            # of the whole (N, H, W) stack
+            est_seg = f[args.seg_group][args.proj_ind]
 
     gt_lands = None
     if args.lands and not args.no_gt_lands and data.lands is not None:

@@ -28,9 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from deepfluoro_tpu.utils.platform import select_platform
+    from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
 
     select_platform(no_gpu=args.no_gpu)
+    enable_compilation_cache()
 
     out = full_res_to_preprocessed(args.input_path, args.output_path, args.ds_factor)
     print("wrote {}".format(out))

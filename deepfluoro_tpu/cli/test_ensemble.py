@@ -71,8 +71,21 @@ def main(argv=None):
     cfg = None
     for net_path in args.nets:
         print("  loading state from disk for: {}".format(net_path))
-        model, variables, cfg = load_net_from_checkpoint(net_path)
+        model, variables, net_cfg = load_net_from_checkpoint(net_path)
         models_and_vars.append((model, variables))
+        # ensemble-wide settings come from the checkpoints; mixed values
+        # would silently run members at the wrong padded resolution (or
+        # crash deep inside the stacking), so fail loudly at the boundary
+        if cfg is not None:
+            for field in ("num_lands", "proj_unet_dim", "num_classes"):
+                a, b = getattr(cfg, field), getattr(net_cfg, field)
+                if a != b:
+                    raise ValueError(
+                        "ensemble members disagree on {}: {} vs {} ({})".format(
+                            field, a, b, net_path
+                        )
+                    )
+        cfg = net_cfg
 
     num_lands = cfg.num_lands
     land_names = None
@@ -108,10 +121,9 @@ def main(argv=None):
         f.flush()
 
     if args.times:
-        with open(args.times, "w") as times_out:
-            for t in times:
-                times_out.write("{:.6f}\n".format(t))
-            times_out.flush()
+        from deepfluoro_tpu.utils.io import write_floats_to_txt
+
+        write_floats_to_txt(args.times, times)
 
 
 if __name__ == "__main__":

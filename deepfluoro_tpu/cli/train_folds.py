@@ -97,6 +97,7 @@ def main(argv=None):
     if args.use_lands:
         num_lands = get_num_lands_from_dataset(args.input_data_file_path)
         print("num. lands read from file: {}".format(num_lands))
+        assert num_lands > 0
 
     cfg = TrainConfig(
         num_classes=args.num_classes,

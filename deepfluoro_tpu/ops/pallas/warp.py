@@ -157,12 +157,18 @@ def _envelope_ok(mat, band: int, ow: int, oh_padded: int, h_pad: int, w_pad: int
     in_x = m00 * xg + m01 * yg + m02 - 0.5
     in_y = m10 * xg + m11 * yg + m12 - 0.5
     span = jnp.abs(m10) * (ow - 1) + jnp.abs(m11) * (_TILE - 1)
+    # Bottom bound: after the clamp to h_pad-band the start is ALSO rounded
+    # down to a sublane multiple, so the deepest accessible row is
+    # ((h_pad-band)//8)*8 + band - 1, not h_pad - 1 — when (h_pad-band)%8 != 0
+    # the naive h_pad-2 bound admits matrices whose bottom taps the kernel
+    # would silently clamp (border-row repeats).
+    max_row = ((h_pad - band) // 8) * 8 + band - 2
     return (
         (span + 11.0 <= band)
         & (jnp.min(in_x) >= 0.0)
         & (jnp.max(in_x) <= w_pad - 2.0)
         & (jnp.min(in_y) >= 0.0)
-        & (jnp.max(in_y) <= h_pad - 2.0)
+        & (jnp.max(in_y) <= float(max_row))
     )
 
 

@@ -271,3 +271,30 @@ class TestSegDatasetEnsembleMesh:
             np.testing.assert_allclose(
                 f1["nn-heats"][:], f2["nn-heats"][:], atol=1e-5
             )
+
+    def test_cli_rejects_mixed_configs(self, setup, tmp_path):
+        """Members trained at different padded resolutions (or class/landmark
+        counts) cannot share one ensemble program; the CLI must fail loudly
+        instead of silently running nets at the wrong resolution."""
+        import dataclasses
+
+        import pytest
+
+        from deepfluoro_tpu.cli import test_ensemble as te_cli
+        from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+        _, h5p, cfg, _, _ = setup
+        cfg_b = dataclasses.replace(cfg, proj_unet_dim=cfg.proj_unet_dim + 8)
+        paths = []
+        for i, c in enumerate([cfg, cfg_b]):
+            _, state = make_train_state(c, jax.random.PRNGKey(i), (36, 36))
+            p = str(tmp_path / "mixed{}.pt".format(i))
+            save_checkpoint(
+                p, meta=c.to_checkpoint_meta(), epoch=1,
+                params=state.params, batch_stats=state.batch_stats,
+            )
+            paths.append(p)
+
+        out = str(tmp_path / "mixed_out.h5")
+        with pytest.raises(ValueError, match="proj_unet_dim"):
+            te_cli.main([h5p, out, "--pats", "1", "--nets", *paths, "--no-gpu"])

@@ -89,6 +89,26 @@ class TestEnvelopeGuard:
         raw = np.asarray(warp_interpret(img, m, 1, (90, 90), (0.0, 0.0)))
         assert not np.allclose(raw, want, atol=1e-3)
 
+    def test_bottom_clamp_sublane_rounddown(self, rng):
+        """Regression: when (h_pad - band) is not a multiple of 8, the band
+        start's sublane round-down after the bottom clamp loses up to 7 rows
+        of reach, so a translation whose preimage ends within those rows
+        passed the old envelope check but sampled clamped (repeated) band
+        rows. The guard must route such matrices to the exact XLA fallback."""
+        img = jnp.asarray(rng.random((180, 180)), jnp.float32)
+        # pure +y translation: preimage bottom = 243 + ty with pad=64
+        # (h_pad=308, band=48, (308-48)%8=4 -> deepest reachable row 303,
+        # old bound admitted up to 306)
+        m = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 62.0]], jnp.float32)
+        want = np.asarray(
+            jax.jit(partial(affine_warp, order=1, mode="mirror"))(img, m)
+        )
+        got = np.asarray(warp_interpret(img, m, 1, (180, 180), (0.0, 0.0), guarded=True))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # sanity: the unguarded kernel genuinely corrupts this case
+        raw = np.asarray(warp_interpret(img, m, 1, (180, 180), (0.0, 0.0)))
+        assert not np.allclose(raw, want, atol=1e-3)
+
 
 def test_band_height_covers_ranges():
     # the static band must cover the worst-case preimage span of a tile for
