@@ -141,7 +141,11 @@ def full_res_to_preprocessed(
                     lg = pg["gt-landmarks"]
                     if all_land_names is None:
                         all_land_names = sorted(lg.keys())
-                    pts = np.full((2, len(all_land_names)), np.inf, np.float32)
+                    # not-visible landmarks must be FINITE out-of-bounds
+                    # coords in the archive: the loader asserts isfinite and
+                    # then converts OOB (<0) to inf itself (hdf5.py:157-158,
+                    # matching the reference dataset.py:419-429)
+                    pts = np.full((2, len(all_land_names)), -1.0, np.float32)
                     for li, name in enumerate(all_land_names):
                         if name in lg:
                             xy = np.asarray(lg[name][:], np.float64).reshape(-1)[:2]
@@ -225,7 +229,7 @@ def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, ful
     Returns jitted fn(projs (B, H_full, W_full), rot_flags (B,)) ->
     (labels (B, h, w) uint8, heats (B, h, w, L) | None).
     """
-    from deepfluoro_tpu.ops.image import calc_pad_amount, center_crop
+    from deepfluoro_tpu.ops.image import calc_pad_amount, center_crop, znorm
 
     h, w = full_hw
     hc = (h - 2 * BORDER_CROP_PX) // ds_factor
@@ -242,7 +246,7 @@ def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, ful
             x = jax.image.resize(x, (hc, wc), method="linear")
             if extra > 0:
                 x = jnp.pad(x, ((extra, extra), (extra, extra)), mode="reflect")
-            x = (x - jnp.mean(x)) / jnp.std(x)
+            x = znorm(x)  # ddof=1, matching the training pipeline exactly
             return x[..., None]
 
         x = jax.vmap(prep_one)(projs, rot_flags)

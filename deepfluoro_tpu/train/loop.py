@@ -250,6 +250,10 @@ def fit(
         num_classes=cfg.num_classes,
         proj_pad_dim=cfg.proj_unet_dim,
         prob_of_aug=0.0,
+        # dice-only validation never reads target heatmaps — skip
+        # synthesizing B x L Gaussians per eval batch (same gating as
+        # test_dataset_ensemble)
+        include_heat_map=not cfg.use_dice_valid,
     )
 
     # ----- model / optimizer / schedules --------------------------------

@@ -629,12 +629,16 @@ def fit_multifold(
         log("Epoch: {:03d}".format(epoch))
 
         pending = []  # (K,) device loss vectors, drained lazily
+        epoch_loss_sum = np.zeros((k_folds,), np.float64)
+        epoch_loss_n = 0
 
         def drain():
-            nonlocal last_losses
+            nonlocal last_losses, epoch_loss_sum, epoch_loss_n
             for dev in pending:
                 vals = np.asarray(dev)
-                last_losses = vals
+                last_losses = vals  # last-step losses: the checkpoint 'loss'
+                epoch_loss_sum += vals
+                epoch_loss_n += 1
                 if train_loss_out is not None:
                     for k in range(k_folds):
                         train_loss_out[k].write(float(vals[k]))
@@ -707,7 +711,10 @@ def fit_multifold(
             for k in range(k_folds):
                 valid_loss_out[k].write(float(avg_valid[k]))
 
-        log("  Avg. Training Losses: {}".format(np.round(last_losses, 6)))
+        # true epoch means, like loop.fit and the reference (train.py:445) —
+        # the last step's vector alone is a noisy single-batch value
+        avg_train = epoch_loss_sum / max(1, epoch_loss_n)
+        log("  Avg. Training Losses: {}".format(np.round(avg_train, 6)))
         for k in range(k_folds):
             log(
                 "  fold {} (spec {:02d}) valid: {:.6f} +/- {:.6f}".format(

@@ -248,6 +248,16 @@ def _make_batch_constrainers(mesh, spatial: bool):
 
     data = "data" if "data" in mesh.axis_names else None
     sp = "spatial" if (spatial and "spatial" in mesh.axis_names) else None
+    if sp is not None and "model" in mesh.axis_names:
+        # same guard as make_tp_train_step — this shared builder is the
+        # library path fit() uses, and accepting the combination here would
+        # silently train on the corrupted gradients the CLI rejects
+        raise NotImplementedError(
+            "spatial x tensor-parallel composition is disabled: the GSPMD "
+            "partitioner mis-computes first-conv weight gradients for "
+            "spatially-sharded inputs against channel-sharded kernels "
+            "(measured ~1e-3 error); drop the 'model' axis or spatial=True"
+        )
 
     def constrain(x, with_spatial):
         if x is None:

@@ -286,6 +286,32 @@ class TestTensorParallel:
         with pytest.raises(NotImplementedError):
             make_tp_train_step(cfg, model, tx, mesh, state, spatial=True)
 
+    def test_spatial_tp_rejected_in_fused_step_too(self):
+        """The shared fused/streaming step builders (the library path fit()
+        uses) must refuse the same composition — previously only the CLI and
+        make_tp_train_step guarded it, so fit(mesh=..., shard_spatial=True)
+        on a {'model','spatial'} mesh trained on corrupted gradients."""
+        from deepfluoro_tpu.data.augment import AugmentConfig
+        from deepfluoro_tpu.train.step import (
+            make_fused_train_step,
+            make_streaming_train_step,
+        )
+
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=3, batch_norm=True,
+            padding=True, no_max_pool=True, num_lands=0, proj_unet_dim=32,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (32, 32))
+        tx = make_optimizer(cfg)
+        mesh = make_mesh({"spatial": 2, "model": 4})
+        aug = AugmentConfig(num_classes=7, proj_pad_dim=32, prob_of_aug=0.0)
+        with pytest.raises(NotImplementedError):
+            make_fused_train_step(cfg, model, tx, aug, mesh=mesh, spatial=True,
+                                  state_template=state)
+        with pytest.raises(NotImplementedError):
+            make_streaming_train_step(cfg, model, tx, aug, mesh=mesh,
+                                      spatial=True, state_template=state)
+
 
 class TestMultihost:
     def test_local_shard_indices_partition(self):

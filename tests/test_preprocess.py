@@ -118,6 +118,31 @@ class TestFullResConversion:
         # full-res gt-landmarks groups iterate alphabetically
         assert get_land_names_from_dataset(out) == sorted(DEFAULT_LAND_NAMES)
 
+    def test_missing_landmark_yields_loadable_archive(self, fullres_h5, tmp_path):
+        """A projection lacking one gt-landmark name must convert to a
+        FINITE out-of-bounds sentinel: the loader asserts isfinite and marks
+        OOB itself (regression: np.inf placeholders made the converted
+        archive unloadable)."""
+        import shutil
+
+        import h5py as h5
+
+        src = str(tmp_path / "fr_missing.h5")
+        shutil.copy(fullres_h5, src)
+        with h5.File(src, "r+") as f:
+            spec = [k for k in f.keys() if k != "proj-params"][0]
+            pg = f[spec]["projections"]
+            pk = sorted(pg.keys())[1]
+            name = sorted(pg[pk]["gt-landmarks"].keys())[0]
+            del pg[pk]["gt-landmarks"][name]
+
+        out = str(tmp_path / "pp_missing.h5")
+        full_res_to_preprocessed(src, out, ds_factor=2)
+        data = load_dataset(out, [1])  # must not trip the finite assertion
+        li = sorted(DEFAULT_LAND_NAMES).index(name)
+        assert np.all(np.isinf(data.lands[1, :, li]))  # marked out-of-view
+        assert not np.any(np.isnan(data.lands))
+
     def test_bone_is_bright_after_log(self, fullres_h5, tmp_path):
         out = str(tmp_path / "pp2.h5")
         full_res_to_preprocessed(fullres_h5, out, ds_factor=2)
