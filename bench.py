@@ -43,10 +43,12 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench
 def bench_jax() -> float:
     import jax
 
-    # persistent compile cache: the depth-6 program is expensive to compile
-    # over the remote-compile tunnel; cache it across bench runs
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    # persistent compile cache, SHARED with the CLIs/scripts (one cache dir:
+    # the depth-6 programs are expensive over the remote-compile tunnel and
+    # a bench-private dir would re-pay compiles the tools already did)
+    from deepfluoro_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax.numpy as jnp
 

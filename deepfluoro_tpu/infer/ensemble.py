@@ -173,15 +173,16 @@ def map_over_nets(one_net, stacked_vars):
     return jax.lax.map(one_net, stacked_vars)
 
 
-def _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands):
-    """(K-stacked vars, (B,H,W,1) proj) -> averaged seg probs + heats.
+def make_one_net_fn(model, orig_hw, num_lands):
+    """The single-member forward of the ensemble program: apply, crop to the
+    original resolution, and (when the landmark head exists) min-max
+    normalize the heatmaps per image over all channels — the reference's
+    per-net normalization (util.py:345-356). Returns
+    ``one_net(variables, proj) -> (seg, heats|None)``. Shared by
+    _ensemble_forward and the benchmark variants in
+    scripts/bench_ensemble_cliff.py so the compared programs cannot drift."""
 
-    Per-net heatmap min-max normalization happens per image over all
-    landmark channels (util.py:345-356: .min()/.max() are over the full
-    (1,L,H,W) tensor of that image).
-    """
-
-    def one_net(variables):
+    def one_net(variables, proj):
         out = model.apply(variables, proj, train=False)
         if num_lands > 0:
             seg, heats = out
@@ -194,6 +195,20 @@ def _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands):
             hmax = jnp.max(heats, axis=(1, 2, 3), keepdims=True)
             heats = (heats - hmin) / (hmax - hmin)
         return seg, heats
+
+    return one_net
+
+
+def _ensemble_forward(model, stacked_vars, proj, orig_hw, num_lands):
+    """(K-stacked vars, (B,H,W,1) proj) -> averaged seg probs + heats.
+
+    Per-net heatmap min-max normalization happens per image over all
+    landmark channels (util.py:345-356: .min()/.max() are over the full
+    (1,L,H,W) tensor of that image).
+    """
+
+    net_fn = make_one_net_fn(model, orig_hw, num_lands)
+    one_net = lambda variables: net_fn(variables, proj)
 
     if num_lands > 0:
         segs, heats = map_over_nets(one_net, stacked_vars)  # (K, B, H, W, C/L)

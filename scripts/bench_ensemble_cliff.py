@@ -60,21 +60,15 @@ def build_stacked_vars(cfg, key):
 
 
 def make_variants(model):
-    from deepfluoro_tpu.infer.ensemble import _ensemble_forward
-    from deepfluoro_tpu.ops.image import center_crop
+    from deepfluoro_tpu.infer.ensemble import _ensemble_forward, make_one_net_fn
 
     @jax.jit
     def fwd_stack(stacked_vars, proj):
         return _ensemble_forward(model, stacked_vars, proj, ORIG, NUM_LANDS)
 
-    def one_net(variables, proj):
-        seg, heats = model.apply(variables, proj, train=False)
-        seg = center_crop(seg, ORIG)
-        heats = center_crop(heats, ORIG)
-        hmin = jnp.min(heats, axis=(1, 2, 3), keepdims=True)
-        hmax = jnp.max(heats, axis=(1, 2, 3), keepdims=True)
-        heats = (heats - hmin) / (hmax - hmin)
-        return seg, heats
+    # the PRODUCTION per-net forward — importing it keeps the accum variant
+    # like-for-like with the stacked program it is benchmarked against
+    one_net = make_one_net_fn(model, ORIG, NUM_LANDS)
 
     @jax.jit
     def fwd_accum(stacked_vars, proj):

@@ -90,8 +90,11 @@ with h5py.File(dataset) as ds:
             # archives store out-of-view landmarks as finite out-of-bounds
             # coords (the loader marks them inf by the bounds test,
             # data/hdf5.py::mark_oob_landmarks_inf) — skip them here too
+            # in-view means what the LOADER trains on: 0 <= x <= cols-1
+            # (mark_oob_landmarks_inf) — `< C` would score landmarks in
+            # (C-1, C) that training treated as out-of-view
             if not (np.isfinite(gx) and np.isfinite(gy)
-                    and 0 <= gx < C and 0 <= gy < R):
+                    and 0 <= gx <= C - 1 and 0 <= gy <= R - 1):
                 continue
             total += 1
             r, c = float(row["row"]), float(row["col"])
