@@ -77,6 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save-after-n-restarts", help="Only save pre-restart snapshots once this many restarts have happened", type=int, default=0)
     parser.add_argument("--stream-data", help="Keep the union dataset in host memory and stream prefetched per-fold batches to the device (for archives too large for HBM, e.g. full-res); default keeps the union device-resident", action="store_true")
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--remat", help="Rematerialize activations per U-Net block (memory for compute; equal up to float reassociation)", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-gpu", action="store_true")
     return parser
@@ -134,6 +135,7 @@ def main(argv=None):
         save_after_n_restarts=args.save_after_n_restarts,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        remat=args.remat,
     )
 
     mesh = None

@@ -174,6 +174,16 @@ class UNet(nn.Module):
     lands_num_1x1: int = 2
     do_soft_max: bool = True
     dtype: Any = jnp.float32
+    # Rematerialization (jax.checkpoint) per conv/up block: activations
+    # inside each block are recomputed during the backward pass instead of
+    # being kept live, trading ~1 extra forward of FLOPs for O(depth) less
+    # activation HBM — the lever that fits 2x/full-res frames (736^2+) or
+    # larger batches on one chip. Numerically equivalent to remat=False up
+    # to float reassociation in the recomputed backward (~1e-8; pinned by
+    # tests/test_unet.py). No reference
+    # counterpart (torch keeps all activations); checkpoint-compatible (the
+    # parameter tree is unchanged).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,9 +192,18 @@ class UNet(nn.Module):
         assert self.up_mode in ("upconv", "upsample")
         x = x.astype(self.dtype)
 
+        if self.remat:
+            # `train` must be static for jax.checkpoint (it selects the BN
+            # branch); indices count self as 0, and call sites pass it
+            # positionally — static_argnums does not cover kwargs
+            ConvBlock = nn.remat(UNetConvBlock, static_argnums=(2,))
+            UpBlock = nn.remat(UNetUpBlock, static_argnums=(3,))
+        else:
+            ConvBlock, UpBlock = UNetConvBlock, UNetUpBlock
+
         blocks = []
         for i in range(self.depth):
-            x = UNetConvBlock(
+            x = ConvBlock(
                 2 ** (self.wf + i),
                 self.padding,
                 self.batch_norm,
@@ -193,7 +212,7 @@ class UNet(nn.Module):
                 block_depth=self.block_depth,
                 dtype=self.dtype,
                 name=f"down_{i}",
-            )(x, train=train)
+            )(x, train)
             if i != self.depth - 1:
                 blocks.append(x)
                 if self.max_pool:
@@ -209,7 +228,7 @@ class UNet(nn.Module):
                     )(x)
 
         for j, i in enumerate(reversed(range(self.depth - 1))):
-            x = UNetUpBlock(
+            x = UpBlock(
                 2 ** (self.wf + i),
                 self.up_mode,
                 self.padding,
@@ -219,7 +238,7 @@ class UNet(nn.Module):
                 block_depth=self.block_depth,
                 dtype=self.dtype,
                 name=f"up_{j}",
-            )(x, blocks[-j - 1], train=train)
+            )(x, blocks[-j - 1], train)
 
         seg_logits = nn.Conv(
             self.n_classes,

@@ -59,6 +59,10 @@ class TrainConfig:
     light_best_nets: bool = False
     seed: int = 0
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' (TPU fast path)
+    # per-block activation rematerialization (see models/unet.py::UNet.remat):
+    # fits large-resolution frames / bigger batches in HBM at ~1 extra
+    # forward of FLOPs; results equal up to float reassociation
+    remat: bool = False
 
     # checkpoint key names follow train.py:475-513 for drop-in familiarity
     _META_KEYS = {
@@ -93,6 +97,7 @@ class TrainConfig:
         "light-best-nets": "light_best_nets",
         "init-lr": "init_lr",
         "compute-dtype": "compute_dtype",
+        "remat": "remat",
     }
 
     def to_checkpoint_meta(self) -> dict:
@@ -126,4 +131,5 @@ def build_model(cfg: TrainConfig) -> UNet:
         do_res=cfg.use_res,
         block_depth=cfg.block_depth,
         dtype=cfg.dtype,
+        remat=cfg.remat,
     )

@@ -180,3 +180,47 @@ class TestTraining:
         # outputs come back in float32 (softmax/loss dtype policy)
         assert seg.dtype == jnp.float32
         assert heats.dtype == jnp.float32
+
+
+class TestRemat:
+    def test_remat_is_bit_identical(self):
+        """remat=True must change only the memory/compute schedule: same
+        parameter tree (checkpoint compatibility); forward/gradients/BN
+        stats equal up to float reassociation in the recomputed backward
+        (observed ~1e-8)."""
+        kw = dict(n_classes=7, depth=3, wf=3, padding=True, batch_norm=True,
+                  max_pool=False, num_lands=14, do_res=True, block_depth=2)
+        plain = UNet(**kw)
+        remat = UNet(remat=True, **kw)
+        x = jnp.asarray(np.random.default_rng(0).random((2, 48, 48, 1)), jnp.float32)
+        v = plain.init(jax.random.PRNGKey(0), x, train=False)
+        # identical parameter structure -> init of one serves the other
+        v2 = remat.init(jax.random.PRNGKey(0), x, train=False)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+
+        def loss(model, variables):
+            (seg, heats), mutated = model.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return jnp.mean(seg) + jnp.mean(heats), mutated
+
+        (l1, m1), g1 = jax.value_and_grad(lambda p: loss(plain, {**v, "params": p}), has_aux=True)(v["params"])
+        (l2, m2), g2 = jax.value_and_grad(lambda p: loss(remat, {**v, "params": p}), has_aux=True)(v["params"])
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+        for a, b in zip(jax.tree.leaves(m1), jax.tree.leaves(m2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    def test_remat_in_config_meta(self):
+        from deepfluoro_tpu.train.config import TrainConfig, build_model
+
+        cfg = TrainConfig(remat=True)
+        assert build_model(cfg).remat is True
+        meta = cfg.to_checkpoint_meta()
+        assert meta["remat"] is True
+        back = TrainConfig.from_checkpoint_meta(meta)
+        assert back.remat is True
+        # old checkpoints without the key default to off
+        meta.pop("remat")
+        assert TrainConfig.from_checkpoint_meta(meta).remat is False
