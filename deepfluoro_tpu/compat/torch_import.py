@@ -550,7 +550,7 @@ def export_torch_checkpoint(native, out_path: str, sample_hw: int | None = None)
     ck = dict(cfg.to_checkpoint_meta())
     # native-only meta keys would confuse nothing (the reference reads by
     # key), but drop the ones whose names it never defined anyway
-    for k in ("light-best-nets", "compute-dtype", "remat"):
+    for k in ("light-best-nets", "compute-dtype", "remat", "dup-lr-flip"):
         ck.pop(k, None)
     ck.update({
         "epoch": int(payload.get("epoch", 0)),

@@ -116,17 +116,85 @@ def mark_oob_landmarks_inf(lands: np.ndarray, img_shape_hw: tuple[int, int]) -> 
     return lands
 
 
+def _lr_land_permutation(num_lands: int, land_names: Sequence[str] | None) -> np.ndarray:
+    """Landmark index permutation under a left/right mirror. With names,
+    pair '<base>-l' with '<base>-r' (the archives' convention); unpaired
+    names map to themselves. Without names, fall back to adjacent pairs
+    (0<->1, 2<->3, ...) — the layout the reference's swap loop intended
+    (dataset.py:495-499; its published code swaps l_idx with itself)."""
+    perm = np.arange(num_lands)
+    if land_names:
+        assert len(land_names) == num_lands
+        index = {n: i for i, n in enumerate(land_names)}
+        for i, n in enumerate(land_names):
+            if n.endswith("-l"):
+                j = index.get(n[:-2] + "-r")
+            elif n.endswith("-r"):
+                j = index.get(n[:-2] + "-l")
+            else:
+                j = None
+            if j is not None:
+                perm[i] = j
+    else:
+        assert num_lands % 2 == 0, "unpaired landmark count needs land-names"
+        perm = perm.reshape(-1, 2)[:, ::-1].reshape(-1)
+    return perm
+
+
+def lr_flip_duplicate(
+    data: "FluoroData",
+    land_names: Sequence[str] | None = None,
+    class_swap: Sequence[tuple[int, int]] = ((1, 2), (5, 6)),
+) -> "FluoroData":
+    """Append a left/right-mirrored copy of every sample — the CORRECTED
+    semantics of the reference's dup_data_w_left_right_flip
+    (dataset.py:464-502: disabled at its call site and doubly broken in the
+    landmark swap, see SURVEY §2.4). Projections and segmentations flip
+    along columns; the bilateral seg labels swap (default = the reference's
+    hardcoded 7-class map: 1 left<->2 right hemipelvis, 5 left<->6 right
+    femur); landmark x mirrors to (cols-1)-x for in-view landmarks and the
+    l/r landmark pairs swap (by '-l'/'-r' name suffix when names are given,
+    adjacent pairs otherwise)."""
+    projs = np.concatenate([data.projs, data.projs[:, :, ::-1]])
+
+    segs = None
+    if data.segs is not None:
+        flipped = data.segs[:, :, ::-1]
+        lut = np.arange(256, dtype=data.segs.dtype)
+        for a, b in class_swap:
+            lut[a], lut[b] = b, a
+        segs = np.concatenate([data.segs, lut[flipped]])
+
+    lands = None
+    if data.lands is not None:
+        cols = data.orig_img_shape[1]
+        mirrored = data.lands.copy()
+        finite = np.isfinite(mirrored[:, 0, :])
+        mirrored[:, 0, :][finite] = (cols - 1) - mirrored[:, 0, :][finite]
+        perm = _lr_land_permutation(mirrored.shape[-1], land_names)
+        mirrored = mirrored[:, :, perm]
+        lands = np.concatenate([data.lands, mirrored])
+
+    return FluoroData(
+        projs=projs, segs=segs, lands=lands,
+        orig_img_shape=data.orig_img_shape, minmax=data.minmax,
+    )
+
+
 def load_dataset(
     h5_file_path: str,
     pat_inds: Sequence[int],
     minmax: bool | tuple[float, float] | None = None,
     no_seg: bool = False,
+    dup_lr_flip: bool = False,
 ) -> FluoroData:
     """Load all projections/segs/landmarks of the given specimens.
 
-    Mirrors reference dataset.py:368-512 minus the host-side one-hot and the
-    (disabled, broken) left/right-flip duplication — see SURVEY.md §2.4; flip
-    augmentation, if desired, belongs in the device-side pipeline.
+    Mirrors reference dataset.py:368-512 minus the host-side one-hot.
+    ``dup_lr_flip=True`` appends a left/right-mirrored copy of every sample
+    (the reference's dup_data_w_left_right_flip intent with its bugs fixed —
+    see lr_flip_duplicate); like the reference, duplication happens BEFORE
+    any train/valid split.
     """
     need_scale = False
     find_minmax = False
@@ -193,7 +261,16 @@ def load_dataset(
         projs = (projs - mm_min) / (mm_max - mm_min)
         mm = (mm_min, mm_max)
 
-    return FluoroData(projs=projs, segs=segs, lands=lands, orig_img_shape=orig_img_shape, minmax=mm)
+    data = FluoroData(projs=projs, segs=segs, lands=lands, orig_img_shape=orig_img_shape, minmax=mm)
+    if dup_lr_flip:
+        names = None
+        if lands is not None:
+            try:
+                names = get_land_names_from_dataset(h5_file_path)
+            except (KeyError, OSError):
+                names = None
+        data = lr_flip_duplicate(data, land_names=names)
+    return data
 
 
 def split_train_valid(

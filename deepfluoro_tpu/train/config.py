@@ -63,6 +63,10 @@ class TrainConfig:
     # fits large-resolution frames / bigger batches in HBM at ~1 extra
     # forward of FLOPs; results equal up to float reassociation
     remat: bool = False
+    # append a left/right-mirrored copy of every training sample (corrected
+    # dup_data_w_left_right_flip — data/hdf5.py::lr_flip_duplicate); like the
+    # reference, duplication happens before the train/valid split
+    dup_lr_flip: bool = False
 
     # checkpoint key names follow train.py:475-513 for drop-in familiarity
     _META_KEYS = {
@@ -98,6 +102,7 @@ class TrainConfig:
         "init-lr": "init_lr",
         "compute-dtype": "compute_dtype",
         "remat": "remat",
+        "dup-lr-flip": "dup_lr_flip",
     }
 
     def to_checkpoint_meta(self) -> dict:

@@ -210,7 +210,10 @@ def fit(
 
     # ----- data ---------------------------------------------------------
     log("initializing training dataset")
-    train_data = load_dataset(data_file_path, train_pats)
+    # dup_lr_flip mirrors BEFORE the split, like the reference's
+    # dup_data_w_left_right_flip placement (dataset.py:464, train.py:286);
+    # an explicit valid set (--valid-pats) stays unmirrored
+    train_data = load_dataset(data_file_path, train_pats, dup_lr_flip=cfg.dup_lr_flip)
     if cfg.train_valid_split >= 0:
         train_data, valid_data, train_idx, valid_idx = split_train_valid(
             train_data,

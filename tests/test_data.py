@@ -212,3 +212,73 @@ class TestPrefetchIterator:
         gen = pre.epoch()
         next(gen)
         gen.close()  # no hang, producer thread joined
+
+
+class TestLrFlipDuplicate:
+    """Corrected dup_data_w_left_right_flip (reference dataset.py:464-502 —
+    disabled at its call site, landmark swap doubly broken upstream)."""
+
+    def _data(self):
+        from deepfluoro_tpu.data.hdf5 import FluoroData
+
+        rng = np.random.default_rng(3)
+        projs = rng.random((4, 8, 10)).astype(np.float32)
+        segs = rng.integers(0, 7, (4, 8, 10)).astype(np.uint8)
+        lands = rng.random((4, 2, 4)).astype(np.float32) * 7
+        lands[0, :, 2] = np.inf  # out-of-view stays out-of-view
+        return FluoroData(projs=projs, segs=segs, lands=lands,
+                          orig_img_shape=(8, 10), minmax=None)
+
+    def test_mirror_semantics(self):
+        from deepfluoro_tpu.data.hdf5 import lr_flip_duplicate
+
+        data = self._data()
+        names = ["FH-l", "FH-r", "GSN-l", "GSN-r"]
+        out = lr_flip_duplicate(data, land_names=names)
+        n = len(data.projs)
+        assert len(out.projs) == 2 * n
+        # first half untouched
+        np.testing.assert_array_equal(out.projs[:n], data.projs)
+        np.testing.assert_array_equal(out.segs[:n], data.segs)
+        # flipped projections
+        np.testing.assert_array_equal(out.projs[n:], data.projs[:, :, ::-1])
+        # seg labels: columns mirrored AND bilateral classes swapped
+        # (1<->2, 5<->6; 0/3/4 unchanged) — the reference's hardcoded map
+        want = data.segs[:, :, ::-1].copy()
+        for a, b in ((1, 2), (5, 6)):
+            ma, mb = want == a, want == b
+            want[ma], want[mb] = b, a
+        np.testing.assert_array_equal(out.segs[n:], want)
+        # landmarks: x -> (cols-1)-x for in-view, pairs swapped by name
+        flipped = out.lands[n:]
+        np.testing.assert_allclose(
+            flipped[1, 0, 0], (10 - 1) - data.lands[1, 0, 1], rtol=1e-6
+        )  # FH-l slot now holds mirrored FH-r
+        np.testing.assert_allclose(flipped[1, 1, 0], data.lands[1, 1, 1], rtol=1e-6)
+        assert np.all(np.isinf(flipped[0, :, 3]))  # GSN-r slot <- inf GSN-l... 
+        # (sample 0's landmark 2 = GSN-l was inf; after swap it lands in slot 3)
+
+    def test_name_pairing_beats_adjacency(self):
+        from deepfluoro_tpu.data.hdf5 import _lr_land_permutation
+
+        # non-adjacent pairing + an unpaired name mapping to itself
+        names = ["FH-l", "GSN-l", "FH-r", "GSN-r", "MID"]
+        perm = _lr_land_permutation(5, names)
+        assert list(perm) == [2, 3, 0, 1, 4]
+        # fallback without names: adjacent pairs
+        assert list(_lr_land_permutation(4, None)) == [1, 0, 3, 2]
+
+    def test_load_dataset_dup(self, tmp_path):
+        from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+
+        h5p = write_synthetic_dataset(str(tmp_path / "d.h5"), num_specimens=1,
+                                      num_projs=5, img_dim=32)
+        plain = load_dataset(h5p, [1])
+        dup = load_dataset(h5p, [1], dup_lr_flip=True)
+        assert len(dup.projs) == 2 * len(plain.projs)
+        np.testing.assert_array_equal(dup.projs[5:], plain.projs[:, :, ::-1])
+        # in-view landmarks in the mirrored half remain in bounds
+        fin = np.isfinite(dup.lands[5:, 0, :])
+        xs = dup.lands[5:, 0, :][fin]
+        assert np.all((xs >= 0) & (xs <= 31))
