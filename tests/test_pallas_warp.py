@@ -118,3 +118,32 @@ def test_band_height_covers_ranges():
         worst = W._TILE * 1.12 + 0.115 * ow + 2
         assert band >= worst
         assert band % 8 == 0
+
+
+def test_unguarded_aug_envelope_covers_bottom_rounddown():
+    """The augmentation pipeline runs the kernel UNGUARDED (guarded=True's
+    lax.cond executes both branches under vmap), so the static apron/band
+    must cover the worst legal augmentation draw INCLUDING the sublane
+    round-down after the bottom clamp (deepest reachable input row is
+    ((h_pad-band)//8)*8 + band - 2, not h_pad - 2). Brute-forces the
+    parameter extremes at every production dim."""
+    for dim in (96, 128, 180, 192, 256, 364, 384):
+        pad = W._default_apron(dim)
+        band = W._band_height(dim)
+        h_pad = dim + 2 * pad
+        deepest_ok = ((h_pad - band) // 8) * 8 + band - 2
+        worst = -1e9
+        for ang in np.linspace(-5, 5, 9):
+            for sh in np.linspace(-1, 1, 5):
+                for sc in (0.9, 1.0, 1.1):
+                    for t in (-20.0, 0.0, 20.0):
+                        m = np.asarray(inverse_affine_matrix(
+                            (dim / 2.0, dim / 2.0), float(ang), (t, t),
+                            float(sc), (float(sh), float(sh))))
+                        for ox in (0.5, dim - 0.5):
+                            for oy in (0.5, dim - 0.5):
+                                worst = max(
+                                    worst,
+                                    m[1, 0] * ox + m[1, 1] * oy + m[1, 2] + pad - 0.5,
+                                )
+        assert worst <= deepest_ok, (dim, worst, deepest_ok)
