@@ -6,6 +6,7 @@ import pytest
 
 CLI_MODULES = [
     "train",
+    "train_folds",
     "test_ensemble",
     "est_lands_csv",
     "compute_actual_dice_on_test",
@@ -13,6 +14,7 @@ CLI_MODULES = [
     "overlay_est_heat",
     "preprocess_full_res",
     "full_res_3d_viz",
+    "export_torch_net",
 ]
 
 

@@ -178,12 +178,14 @@ class TestFitMultifold:
             rtol=2e-4,
         )
 
-    def test_sharded_multifold_without_lands(self, tmp_path):
+    def test_sharded_multifold_without_lands_4way(self, tmp_path):
         """Sharded fit_multifold on an archive with NO landmark data: the
         lands_all argument is None all the way into the shard_map'd step
         (None is an empty pytree, so its fold-axis spec maps over zero
         leaves). Pins the spec/pytree combination VERDICT r2 flagged as
-        untested and asserts parity with the unsharded run."""
+        untested and asserts parity with the unsharded run. (4-way
+        partition; the 2-way + streaming variant lives in
+        TestMultifoldRecipeCompleteness.)"""
         import h5py
         from deepfluoro_tpu.parallel import make_mesh
 

@@ -20,11 +20,23 @@ TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    # pid-derived probe below the ephemeral range (Linux default starts at
+    # 32768): a kernel-assigned port released here could be re-allocated to
+    # ANY process before the coordinator (a slow jax import away) binds it;
+    # a quiet fixed-range slot keyed by pid shrinks that TOCTOU window and
+    # keeps parallel test runs off each other's ports
+    base = 20000 + (os.getpid() % 10000)
+    for off in range(100):
+        port = base + off
+        s = socket.socket()
+        try:
+            s.bind(("127.0.0.1", port))
+        except OSError:
+            continue
+        finally:
+            s.close()
+        return port
+    raise RuntimeError("no free port in the probe range")
 
 
 @pytest.mark.slow

@@ -155,17 +155,27 @@ class TestEnsembleSharding:
 
 
 class TestGraftEntry:
-    def test_dryrun_multichip_8(self):
-        import sys, os
-        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-        import __graft_entry__ as ge
+    @staticmethod
+    def _graft_entry():
+        # __graft_entry__ lives at the repo root, outside the editable
+        # install — each test imports it through its own path shim so the
+        # tests are order-independent (and the shim is removed afterwards)
+        import importlib
+        import os
+        import sys
 
-        ge.dryrun_multichip(8)
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        try:
+            return importlib.import_module("__graft_entry__")
+        finally:
+            sys.path.remove(root)
+
+    def test_dryrun_multichip_8(self):
+        self._graft_entry().dryrun_multichip(8)
 
     def test_dryrun_multichip_odd(self):
-        import __graft_entry__ as ge
-
-        ge.dryrun_multichip(1)
+        self._graft_entry().dryrun_multichip(1)
 
 
 class TestDeepSpatialSharding:

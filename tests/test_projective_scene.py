@@ -523,9 +523,13 @@ class TestSceneAssembly:
         assert reg.objs["vtkRenderWindow"][0].rendered
 
     def test_import_error_without_vtk(self, fullres_h5):
+        import importlib.util
+
         from deepfluoro_tpu.viz.projective import view_3d_scene
 
-        if "vtk" in sys.modules:  # pragma: no cover - isolation guard
+        # importABILITY, not already-imported: with vtk installed this test
+        # would otherwise build a real scene and hang in Interactor.Start()
+        if importlib.util.find_spec("vtk") is not None:  # pragma: no cover
             pytest.skip("a vtk module is importable in this environment")
         with pytest.raises(ImportError, match="vtk"):
             view_3d_scene(fullres_h5, "17-1882")

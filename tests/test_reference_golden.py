@@ -362,7 +362,12 @@ class TestGoldenUNet:
         "name,tkw,fkw,hw", GOLDEN_NET_CONFIGS, ids=[c[0] for c in GOLDEN_NET_CONFIGS]
     )
     def test_forward_parity(self, ref, rng, name, tkw, fkw, hw):
-        torch.manual_seed(hash(name) % (2**31))
+        import zlib
+
+        # deterministic across processes — hash() is salted per interpreter,
+        # which made the reference weights (and any tolerance-boundary
+        # failure) unreproducible between runs
+        torch.manual_seed(zlib.crc32(name.encode()) % (2**31))
         tkw = dict(tkw)
         up_mode = tkw.pop("up_mode", "upconv")
         pad_mode = tkw.pop("pad_mode", "zeros")

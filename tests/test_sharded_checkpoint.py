@@ -30,7 +30,11 @@ def small_cfg(**kw):
 
 
 def leaves_close(a_tree, b_tree, atol=0.0):
-    for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
+    la, lb = jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)
+    # a truncated/empty restored tree must FAIL, not pass vacuously
+    assert len(la) == len(lb), (len(la), len(lb))
+    assert la, "empty trees compared"
+    for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
 
 

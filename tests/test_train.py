@@ -209,12 +209,11 @@ class TestFit:
         state (inference artifact), the periodic checkpoint stays full, the
         best net still rebuilds for inference, and resuming FROM the light
         file starts the optimizer fresh instead of crashing."""
-        cfg = small_cfg(max_num_epochs=2, light_best_nets=True)
-        ck = str(tmp_path / "check.pt")
-        best = str(tmp_path / "best.pt")
         # checkpoint_freq=3 > epochs: best-valid takes the save_net (not
         # copy) path, which is where the light variant matters
-        cfg.checkpoint_freq = 3
+        cfg = small_cfg(max_num_epochs=2, light_best_nets=True, checkpoint_freq=3)
+        ck = str(tmp_path / "check.pt")
+        best = str(tmp_path / "best.pt")
         out = fit(
             fixture_h5, [1, 2], cfg,
             checkpoint_filename=ck, best_valid_filename=best,
