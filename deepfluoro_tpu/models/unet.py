@@ -180,9 +180,8 @@ class UNet(nn.Module):
     # activation HBM — the lever that fits 2x/full-res frames (736^2+) or
     # larger batches on one chip. Numerically equivalent to remat=False up
     # to float reassociation in the recomputed backward (~1e-8; pinned by
-    # tests/test_unet.py). No reference
-    # counterpart (torch keeps all activations); checkpoint-compatible (the
-    # parameter tree is unchanged).
+    # tests/test_unet.py). No reference counterpart (torch keeps all
+    # activations); checkpoint-compatible (the parameter tree is unchanged).
     remat: bool = False
 
     @nn.compact

@@ -256,7 +256,8 @@ def _make_batch_constrainers(mesh, spatial: bool):
             "spatial x tensor-parallel composition is disabled: the GSPMD "
             "partitioner mis-computes first-conv weight gradients for "
             "spatially-sharded inputs against channel-sharded kernels "
-            "(measured ~1e-3 error); drop the 'model' axis or spatial=True"
+            "(measured ~1e-3 error); drop the 'model' axis or pass "
+            "spatial=False"
         )
 
     def constrain(x, with_spatial):
