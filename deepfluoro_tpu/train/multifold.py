@@ -455,7 +455,11 @@ def fit_multifold(
         prob_of_aug=0.5 if cfg.data_aug else 0.0,
     )
     aug_eval = AugmentConfig(
-        num_classes=cfg.num_classes, proj_pad_dim=cfg.proj_unet_dim, prob_of_aug=0.0
+        num_classes=cfg.num_classes, proj_pad_dim=cfg.proj_unet_dim, prob_of_aug=0.0,
+        # dice-only validation never reads target heatmaps — skip
+        # synthesizing K x B x L Gaussians per eval batch (same gating as
+        # loop.fit and test_dataset_ensemble)
+        include_heat_map=not cfg.use_dice_valid,
     )
 
     # ----- model / optimizer / schedules ----------------------------------
