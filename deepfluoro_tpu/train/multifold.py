@@ -422,10 +422,16 @@ def fit_multifold(
 
     # ----- data: ONE device-resident union of all specimens ---------------
     log("initializing union dataset ({} specimens)".format(k_folds))
-    union = load_dataset(data_file_path, pats)
+    union = load_dataset(data_file_path, pats, dup_lr_flip=cfg.dup_lr_flip)
     counts = specimen_counts(data_file_path, pats)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     spec_ranges = [np.arange(offsets[i], offsets[i + 1]) for i in range(k_folds)]
+    if cfg.dup_lr_flip:
+        # mirrored copies live at row + N in the duplicated union and belong
+        # to the SAME specimen — a fold must exclude its held-out specimen's
+        # mirrors too, or leave-one-out leaks flipped test frames
+        n_orig = int(offsets[-1])
+        spec_ranges = [np.concatenate([r, r + n_orig]) for r in spec_ranges]
 
     train_idx, valid_idx = [], []
     for k in range(k_folds):

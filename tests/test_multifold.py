@@ -345,3 +345,30 @@ class TestMultifoldRecipeCompleteness:
         np.testing.assert_allclose(
             out_stream["best_valid_losses"], out_plain["best_valid_losses"], rtol=2e-4
         )
+
+
+def test_dup_lr_flip_excludes_held_out_mirrors(tmp_path, h5p):
+    """--dup-lr-flip doubles the union; each fold's train/valid indices must
+    exclude BOTH halves of the held-out specimen (a mirrored test frame in
+    training would leak the leave-one-out evaluation)."""
+    from deepfluoro_tpu.data.hdf5 import specimen_counts
+    from deepfluoro_tpu.train.checkpoint import load_checkpoint
+
+    cfg = mf_cfg(max_num_epochs=1, dup_lr_flip=True)
+    fit_multifold(
+        h5p, [1, 2, 3], cfg,
+        checkpoint_prefix=str(tmp_path / "ck"), best_prefix=str(tmp_path / "b"),
+        verbose=False,
+    )
+    counts = np.asarray(specimen_counts(h5p, [1, 2, 3]))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    n_orig = int(offsets[-1])
+    for k in range(3):
+        ck = load_checkpoint(str(tmp_path / "ck") + "_spec{:02d}.pt".format(k + 1))
+        used = set(ck["train-idx"]) | set(ck["valid-idx"])
+        held = set(range(int(offsets[k]), int(offsets[k + 1])))
+        held |= {i + n_orig for i in held}  # the mirrored copies
+        assert not (used & held), sorted(used & held)
+        # the fold does train on mirrored rows of the OTHER specimens
+        assert any(i >= n_orig for i in used)
+        assert len(used) == 2 * (n_orig - int(counts[k]))
