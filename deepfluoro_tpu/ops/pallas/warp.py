@@ -137,9 +137,79 @@ def _default_apron(out_dim: int) -> int:
     """Mirror apron sized for the worst legal augmentation draw: |translate|
     <= 20 plus the radial stretch of (scale 0.9, rot 5deg, shear 1deg) from
     the frame center (~0.28 * dim/2 combined; verified -72.7px at dim 384).
-    Rounded up to a sublane multiple."""
+    Rounded up to a sublane multiple. Heuristic FLOOR only — the binding
+    constraint is _required_apron, which is exact for the actual call
+    geometry (this heuristic under-sizes when the input is smaller than the
+    output frame, e.g. 180-pixel frames padded to 192: measured 0.6-2.9 px
+    envelope violations at extreme legal draws)."""
     apron = int(np.ceil(24 + 0.16 * out_dim))
     return int(np.ceil(apron / 8.0) * 8)
+
+
+# The documented augmentation parameter box (data/augment.py draws inside
+# it): the correctness contract of the UNGUARDED hot path.
+_AUG_ROT_DEG = 5.0
+_AUG_SHEAR_DEG = 1.0
+_AUG_SCALE = (0.9, 1.1)
+_AUG_TRANS_PX = 20.0
+
+
+def _aug_box_reach(in_hw, out_hw, out_offset_xy):
+    """Static worst-case preimage bounds of the augmentation parameter box
+    over the output corners, in UNPADDED input coords. Pure numpy (mirrors
+    ops.image.inverse_affine_matrix's torchvision formula) so the apron can
+    be derived at trace time with zero device dispatches. Returns
+    (min_x, max_x, min_y, max_y)."""
+    ih, iw = in_hw
+    oh, ow = out_hw
+    offx, offy = out_offset_xy
+    cx, cy = iw * 0.5, ih * 0.5  # augment.py's image-warp center
+
+    rot = np.deg2rad(np.linspace(-_AUG_ROT_DEG, _AUG_ROT_DEG, 41))[:, None, None]
+    sx = np.deg2rad(np.array([-_AUG_SHEAR_DEG, 0.0, _AUG_SHEAR_DEG]))[None, :, None]
+    sy = np.deg2rad(np.array([-_AUG_SHEAR_DEG, 0.0, _AUG_SHEAR_DEG]))[None, None, :]
+
+    a = np.cos(rot - sy) / np.cos(sy)
+    b = -np.cos(rot - sy) * np.tan(sx) / np.cos(sy) - np.sin(rot)
+    c = np.sin(rot - sy) / np.cos(sy)
+    d = -np.sin(rot - sy) * np.tan(sx) / np.cos(sy) + np.cos(rot)
+
+    mins = np.array([np.inf, np.inf])
+    maxs = np.array([-np.inf, -np.inf])
+    for scale in _AUG_SCALE:
+        m00, m01 = d / scale, -b / scale
+        m10, m11 = -c / scale, a / scale
+        for tx in (-_AUG_TRANS_PX, _AUG_TRANS_PX):
+            for ty in (-_AUG_TRANS_PX, _AUG_TRANS_PX):
+                m02 = m00 * (-cx - tx) + m01 * (-cy - ty) + cx
+                m12 = m10 * (-cx - tx) + m11 * (-cy - ty) + cy
+                for gx in (0.5 + offx, ow - 0.5 + offx):
+                    for gy in (0.5 + offy, oh - 0.5 + offy):
+                        in_x = m00 * gx + m01 * gy + m02 - 0.5
+                        in_y = m10 * gx + m11 * gy + m12 - 0.5
+                        mins = np.minimum(mins, [in_x.min(), in_y.min()])
+                        maxs = np.maximum(maxs, [in_x.max(), in_y.max()])
+    return mins[0], maxs[0], mins[1], maxs[1]
+
+
+def _required_apron(in_hw, out_hw, out_offset_xy, band: int) -> int:
+    """Exact mirror-apron (sublane multiple) guaranteeing the UNGUARDED
+    kernel's envelope for every draw inside the augmentation box at this
+    call geometry: covers the top/left clamp (min preimage >= 0 after the
+    pad shift), the right clip (ix <= w_pad - 2), and the bottom clamp
+    INCLUDING the band start's sublane round-down (deepest reachable row is
+    ((h_pad - band)//8)*8 + band - 2). +1 px absorbs the rot-grid sampling
+    of the reach bounds."""
+    min_x, max_x, min_y, max_y = _aug_box_reach(in_hw, out_hw, out_offset_xy)
+    ih, iw = in_hw
+    p = max(0.0, 1.0 - min_x, 1.0 - min_y, (max_x + 1.0) - (iw - 2.0))
+    p_int = int(np.ceil(p / 8.0) * 8)
+    while True:  # the round-down loss depends on the pad itself: iterate
+        h_pad = ih + 2 * p_int
+        deepest = ((h_pad - band) // 8) * 8 + band - 2
+        if max_y + 1.0 + p_int <= deepest:
+            return p_int
+        p_int += 8
 
 
 def _envelope_ok(mat, band: int, ow: int, oh_padded: int, h_pad: int, w_pad: int):
@@ -172,7 +242,19 @@ def _envelope_ok(mat, band: int, ow: int, oh_padded: int, h_pad: int, w_pad: int
     )
 
 
-@partial(jax.jit, static_argnames=("order", "out_shape", "pad", "guarded", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "order",
+        "out_shape",
+        # static: every call site passes python numbers, and the apron
+        # derivation (_required_apron) needs concrete offsets at trace time
+        "out_offset_xy",
+        "pad",
+        "guarded",
+        "interpret",
+    ),
+)
 def affine_warp_pallas(
     img: jnp.ndarray,
     inv_matrix: jnp.ndarray,
@@ -200,7 +282,14 @@ def affine_warp_pallas(
     h, w = img.shape
     oh, ow = (h, w) if out_shape is None else out_shape
     if pad is None:
-        pad = _default_apron(max(oh, ow))
+        # exact for the augmentation parameter box at THIS geometry (the
+        # heuristic under-sizes when the input is smaller than the output
+        # frame); the heuristic stays as a floor for guarded callers whose
+        # matrices range wider than the box
+        pad = max(
+            _default_apron(max(oh, ow)),
+            _required_apron((h, w), (oh, ow), out_offset_xy, _band_height(ow)),
+        )
 
     # mirror-pad once so the kernel needs no boundary logic
     img_pad = jnp.pad(img, ((pad, pad), (pad, pad)), mode="reflect")

@@ -120,30 +120,84 @@ def test_band_height_covers_ranges():
         assert band % 8 == 0
 
 
-def test_unguarded_aug_envelope_covers_bottom_rounddown():
+def test_unguarded_aug_envelope_covers_production_geometries():
     """The augmentation pipeline runs the kernel UNGUARDED (guarded=True's
-    lax.cond executes both branches under vmap), so the static apron/band
-    must cover the worst legal augmentation draw INCLUDING the sublane
-    round-down after the bottom clamp (deepest reachable input row is
-    ((h_pad-band)//8)*8 + band - 2, not h_pad - 2). Brute-forces the
-    parameter extremes at every production dim."""
-    for dim in (96, 128, 180, 192, 256, 364, 384):
-        pad = W._default_apron(dim)
-        band = W._band_height(dim)
-        h_pad = dim + 2 * pad
-        deepest_ok = ((h_pad - band) // 8) * 8 + band - 2
-        worst = -1e9
-        for ang in np.linspace(-5, 5, 9):
-            for sh in np.linspace(-1, 1, 5):
-                for sc in (0.9, 1.0, 1.1):
-                    for t in (-20.0, 0.0, 20.0):
-                        m = np.asarray(inverse_affine_matrix(
-                            (dim / 2.0, dim / 2.0), float(ang), (t, t),
-                            float(sc), (float(sh), float(sh))))
-                        for ox in (0.5, dim - 0.5):
-                            for oy in (0.5, dim - 0.5):
-                                worst = max(
-                                    worst,
-                                    m[1, 0] * ox + m[1, 1] * oy + m[1, 2] + pad - 0.5,
-                                )
-        assert worst <= deepest_ok, (dim, worst, deepest_ok)
+    lax.cond executes both branches under vmap), so the apron/band chosen
+    for the ACTUAL call geometry — input frames REFLECT-PADDED UP to
+    proj_unet_dim via out_shape/out_offset, which shrinks the padded input
+    relative to the output reach — must cover the worst legal draw
+    INCLUDING the sublane round-down after the bottom clamp (deepest
+    reachable row is ((h_pad-band)//8)*8 + band - 2). Regression: the
+    heuristic out-dim-only apron violated this at 90->96 through 180->192
+    (the real-archive 8x geometry) by 0.6-2.9 px."""
+    from deepfluoro_tpu.ops.image import calc_pad_amount
+
+    for orig, out_dim in (
+        (90, 96), (92, 96), (94, 96), (96, 96), (128, 128),
+        (180, 192), (192, 192), (360, 364), (364, 364), (718, 736),
+    ):
+        extra = calc_pad_amount(out_dim, orig) if out_dim > orig else 0
+        # both production calls: the image warp (padded-up output frame,
+        # negative offsets) and the seg warp (same-size output)
+        for ow, off in ((orig + 2 * extra, -extra), (orig, 0)):
+            band = W._band_height(ow)
+            pad = max(
+                W._default_apron(ow),
+                W._required_apron((orig, orig), (ow, ow), (off, off), band),
+            )
+            h_pad = orig + 2 * pad
+            deepest_ok = ((h_pad - band) // 8) * 8 + band - 2
+            worst, worst_lo = -1e9, 1e9
+            for ang in np.linspace(-5, 5, 11):
+                for shx in (-1.0, 1.0):
+                    for shy in (-1.0, 1.0):
+                        for sc in (0.9, 1.1):
+                            for tx in (-20.0, 20.0):
+                                for ty in (-20.0, 20.0):
+                                    m = np.asarray(inverse_affine_matrix(
+                                        (orig / 2.0, orig / 2.0), float(ang),
+                                        (tx, ty), float(sc), (shx, shy)))
+                                    for cx in (0.5, ow - 0.5):
+                                        for cy in (0.5, ow - 0.5):
+                                            gx, gy = cx + off, cy + off
+                                            iny = (m[1, 0] * gx + m[1, 1] * gy
+                                                   + m[1, 2] + pad - 0.5)
+                                            worst = max(worst, iny)
+                                            worst_lo = min(worst_lo, iny)
+            assert worst <= deepest_ok, (orig, out_dim, worst, deepest_ok)
+            assert worst_lo >= 0.0, (orig, out_dim, worst_lo)
+
+
+def test_unguarded_extreme_draw_matches_xla_when_input_padded_up(rng):
+    """Numeric regression for inputs smaller than the output frame (the
+    production shape whenever orig < proj_unet_dim): at 92^2 frames padded
+    to 96, an extreme-but-legal augmentation draw (rot -5deg, shear (-1,1),
+    scale 0.9, translate (-20,-20)) reaches past the OLD out-dim-only
+    apron's reachable band, silently repeating border rows in the UNGUARDED
+    kernel. With the geometry-exact apron the unguarded output must equal
+    the XLA mirror warp — and the old apron (pad=40) must demonstrably
+    corrupt this case, or the regression proves nothing."""
+    orig, out_dim = 92, 96
+    from deepfluoro_tpu.ops.image import calc_pad_amount
+
+    extra = calc_pad_amount(out_dim, orig)
+    img = jnp.asarray(rng.random((orig, orig)), jnp.float32)
+    m = inverse_affine_matrix(
+        (orig / 2.0, orig / 2.0), -5.0, (-20.0, -20.0), 0.9, (-1.0, 1.0)
+    )
+    want = np.asarray(jax.jit(partial(
+        affine_warp, order=1, mode="mirror",
+        out_shape=(out_dim, out_dim), out_offset_xy=(-extra, -extra),
+    ))(img, m))
+    got = np.asarray(W.affine_warp_pallas(
+        img, m, order=1, out_shape=(out_dim, out_dim),
+        out_offset_xy=(-extra, -extra), guarded=False, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # sanity: the pre-fix apron (heuristic from out_dim alone) corrupts
+    old = np.asarray(W.affine_warp_pallas(
+        img, m, order=1, out_shape=(out_dim, out_dim),
+        out_offset_xy=(-extra, -extra), pad=W._default_apron(out_dim),
+        guarded=False, interpret=True,
+    ))
+    assert not np.allclose(old, want, atol=1e-3)
