@@ -68,7 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stream-data", help="Keep the dataset in host memory and double-buffer batches to the device (for archives too large for HBM, e.g. full-res); default keeps the dataset device-resident", action="store_true")
     parser.add_argument("--bf16", help="Use bfloat16 compute on TPU (float32 params)", action="store_true")
     parser.add_argument("--remat", help="Rematerialize activations per U-Net block during backprop: fits large-resolution frames / bigger batches in device memory for ~1 extra forward of compute; results equal up to float reassociation", action="store_true")
-    parser.add_argument("--dup-lr-flip", help="Duplicate every training sample with a left/right mirror (flipped projections, bilateral seg labels and landmark pairs swapped) before the train/valid split — the reference's dup_data_w_left_right_flip intent with its bugs fixed", action="store_true")
+    parser.add_argument("--dup-lr-flip", help="Duplicate every training sample with a left/right mirror (flipped projections, bilateral seg labels and landmark pairs swapped); mirrors join AFTER the train/valid split so validation stays leak-free — the reference's dup_data_w_left_right_flip intent with its bugs fixed", action="store_true")
     parser.add_argument("--seed", help="random seed", type=int, default=0)
     parser.add_argument("--dp-devices", help="shard each batch over this many devices (data parallelism); 0 = all devices when any parallel flag is active, 1 = off", type=int, default=1)
     parser.add_argument("--spatial-devices", help="also shard image rows over this many devices (for large-resolution training); composes with --dp-devices on one 2-D mesh", type=int, default=1)

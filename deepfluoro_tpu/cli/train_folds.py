@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stream-data", help="Keep the union dataset in host memory and stream prefetched per-fold batches to the device (for archives too large for HBM, e.g. full-res); default keeps the union device-resident", action="store_true")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--remat", help="Rematerialize activations per U-Net block (memory for compute; equal up to float reassociation)", action="store_true")
-    parser.add_argument("--dup-lr-flip", help="Duplicate every sample with a left/right mirror before the per-fold splits (folds exclude their held-out specimen's mirrors too)", action="store_true")
+    parser.add_argument("--dup-lr-flip", help="Duplicate every training sample with a left/right mirror; mirrors join after each fold's split (validation and held-out frames stay mirror-free)", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-gpu", action="store_true")
     return parser

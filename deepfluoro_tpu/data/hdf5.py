@@ -126,6 +126,7 @@ def _lr_land_permutation(num_lands: int, land_names: Sequence[str] | None) -> np
     if land_names:
         assert len(land_names) == num_lands
         index = {n: i for i, n in enumerate(land_names)}
+        paired = 0
         for i, n in enumerate(land_names):
             if n.endswith("-l"):
                 j = index.get(n[:-2] + "-r")
@@ -135,6 +136,17 @@ def _lr_land_permutation(num_lands: int, land_names: Sequence[str] | None) -> np
                 j = None
             if j is not None:
                 perm[i] = j
+                paired += 1
+        if num_lands > 0 and paired == 0:
+            # silently keeping identity would mirror every landmark into the
+            # slot of its OPPOSITE side (the seg classes DO swap), producing
+            # side-inconsistent ground truth — refuse unknown conventions
+            raise ValueError(
+                "land-names {} contain no '-l'/'-r' pairs; cannot derive the "
+                "left/right landmark swap for flip duplication".format(
+                    list(land_names)
+                )
+            )
     else:
         assert num_lands % 2 == 0, "unpaired landmark count needs land-names"
         perm = perm.reshape(-1, 2)[:, ::-1].reshape(-1)
@@ -193,8 +205,10 @@ def load_dataset(
     Mirrors reference dataset.py:368-512 minus the host-side one-hot.
     ``dup_lr_flip=True`` appends a left/right-mirrored copy of every sample
     (the reference's dup_data_w_left_right_flip intent with its bugs fixed —
-    see lr_flip_duplicate); like the reference, duplication happens BEFORE
-    any train/valid split.
+    see lr_flip_duplicate). NOTE: a random split over a pre-duplicated
+    dataset leaks mirrors of validation frames into training; the training
+    loops therefore split first and mirror only the training side
+    (train/loop.py, train/multifold.py) instead of using this kwarg.
     """
     need_scale = False
     find_minmax = False

@@ -63,9 +63,10 @@ class TrainConfig:
     # fits large-resolution frames / bigger batches in HBM at ~1 extra
     # forward of FLOPs; results equal up to float reassociation
     remat: bool = False
-    # append a left/right-mirrored copy of every training sample (corrected
-    # dup_data_w_left_right_flip — data/hdf5.py::lr_flip_duplicate); like the
-    # reference, duplication happens before the train/valid split
+    # append a left/right-mirrored copy of every TRAINING sample (corrected
+    # dup_data_w_left_right_flip — data/hdf5.py::lr_flip_duplicate); mirrors
+    # join after the train/valid split so no validation frame's mirror
+    # trains (the metric would leak)
     dup_lr_flip: bool = False
 
     # checkpoint key names follow train.py:475-513 for drop-in familiarity

@@ -210,19 +210,41 @@ def fit(
 
     # ----- data ---------------------------------------------------------
     log("initializing training dataset")
-    # dup_lr_flip mirrors BEFORE the split, like the reference's
-    # dup_data_w_left_right_flip placement (dataset.py:464, train.py:286);
-    # an explicit valid set (--valid-pats) stays unmirrored
-    train_data = load_dataset(data_file_path, train_pats, dup_lr_flip=cfg.dup_lr_flip)
+    train_data = load_dataset(data_file_path, train_pats)
+
+    def maybe_dup(data):
+        # mirrors join the TRAINING side only, AFTER any split: duplicating
+        # before a random split would put the mirror of ~every validation
+        # frame into training, inflating the validation metric that drives
+        # best-net selection and the plateau schedule
+        if not cfg.dup_lr_flip:
+            return data
+        from deepfluoro_tpu.data.hdf5 import (
+            get_land_names_from_dataset,
+            lr_flip_duplicate,
+        )
+
+        names = None
+        if data.lands is not None:
+            try:
+                names = get_land_names_from_dataset(data_file_path)
+            except (KeyError, OSError):
+                names = None
+        return lr_flip_duplicate(data, land_names=names)
+
     if cfg.train_valid_split >= 0:
+        # split indices (stored in checkpoints) refer to the UNDUPLICATED
+        # pool; the deterministic duplication is re-applied after on resume
         train_data, valid_data, train_idx, valid_idx = split_train_valid(
             train_data,
             cfg.train_valid_split,
             train_valid_idx=(train_idx, valid_idx),
             seed=cfg.seed,
         )
+        train_data = maybe_dup(train_data)
     else:
         assert valid_pats is not None
+        train_data = maybe_dup(train_data)
         log("initializing validation dataset")
         valid_data = load_dataset(data_file_path, valid_pats)
 

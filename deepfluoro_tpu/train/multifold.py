@@ -422,26 +422,42 @@ def fit_multifold(
 
     # ----- data: ONE device-resident union of all specimens ---------------
     log("initializing union dataset ({} specimens)".format(k_folds))
-    union = load_dataset(data_file_path, pats, dup_lr_flip=cfg.dup_lr_flip)
+    union = load_dataset(data_file_path, pats)
     counts = specimen_counts(data_file_path, pats)
     offsets = np.concatenate([[0], np.cumsum(counts)])
+    n_orig = int(offsets[-1])
     spec_ranges = [np.arange(offsets[i], offsets[i + 1]) for i in range(k_folds)]
     if cfg.dup_lr_flip:
-        # mirrored copies live at row + N in the duplicated union and belong
-        # to the SAME specimen — a fold must exclude its held-out specimen's
-        # mirrors too, or leave-one-out leaks flipped test frames
-        n_orig = int(offsets[-1])
-        spec_ranges = [np.concatenate([r, r + n_orig]) for r in spec_ranges]
+        # mirrored copies live at row + N of the duplicated union; they join
+        # the TRAINING indices only, AFTER each fold's split — mirrors of
+        # validation frames would otherwise leak into training (inflating
+        # the per-fold valid metric), and the held-out specimen's mirrors
+        # stay excluded because the split pool holds original rows only
+        from deepfluoro_tpu.data.hdf5 import (
+            get_land_names_from_dataset,
+            lr_flip_duplicate,
+        )
+
+        names = None
+        if union.lands is not None:
+            try:
+                names = get_land_names_from_dataset(data_file_path)
+            except (KeyError, OSError):
+                names = None
+        union = lr_flip_duplicate(union, land_names=names)
 
     train_idx, valid_idx = [], []
     for k in range(k_folds):
         pool = np.concatenate([spec_ranges[j] for j in range(k_folds) if j != k])
         if resume:
+            # stored train indices already include the mirror rows
             t = np.asarray(prev[k]["train-idx"], np.int64)
             v = np.asarray(prev[k]["valid-idx"], np.int64)
             assert len(t) and len(v)
         else:
             t, v = _split_pool(pool, cfg.train_valid_split, cfg.seed + k)
+            if cfg.dup_lr_flip:
+                t = np.concatenate([t, t + n_orig])
         train_idx.append(t)
         valid_idx.append(v)
         log(

@@ -268,6 +268,17 @@ class TestLrFlipDuplicate:
         # fallback without names: adjacent pairs
         assert list(_lr_land_permutation(4, None)) == [1, 0, 3, 2]
 
+    def test_unknown_name_convention_refused(self):
+        """Names that yield ZERO '-l'/'-r' pairs must raise — a silent
+        identity permutation would mirror every landmark into its opposite
+        side's slot while the seg classes DO swap (side-inconsistent GT)."""
+        import pytest
+
+        from deepfluoro_tpu.data.hdf5 import _lr_land_permutation
+
+        with pytest.raises(ValueError, match="no '-l'/'-r' pairs"):
+            _lr_land_permutation(4, ["FH-L", "FH-R", "GSN_l", "GSN_r"])
+
     def test_load_dataset_dup(self, tmp_path):
         from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
         from deepfluoro_tpu.data.hdf5 import load_dataset

@@ -347,10 +347,12 @@ class TestMultifoldRecipeCompleteness:
         )
 
 
-def test_dup_lr_flip_excludes_held_out_mirrors(tmp_path, h5p):
-    """--dup-lr-flip doubles the union; each fold's train/valid indices must
-    exclude BOTH halves of the held-out specimen (a mirrored test frame in
-    training would leak the leave-one-out evaluation)."""
+def test_dup_lr_flip_mirrors_train_only(tmp_path, h5p):
+    """--dup-lr-flip doubles the union; mirrors join the TRAINING indices
+    only: the held-out specimen's rows AND mirrors stay excluded (leakage
+    into the leave-one-out evaluation), and mirrors of each fold's
+    validation frames stay out of training (leakage into the valid metric
+    that drives best-net selection)."""
     from deepfluoro_tpu.data.hdf5 import specimen_counts
     from deepfluoro_tpu.train.checkpoint import load_checkpoint
 
@@ -365,10 +367,15 @@ def test_dup_lr_flip_excludes_held_out_mirrors(tmp_path, h5p):
     n_orig = int(offsets[-1])
     for k in range(3):
         ck = load_checkpoint(str(tmp_path / "ck") + "_spec{:02d}.pt".format(k + 1))
-        used = set(ck["train-idx"]) | set(ck["valid-idx"])
+        train, valid = set(ck["train-idx"]), set(ck["valid-idx"])
         held = set(range(int(offsets[k]), int(offsets[k + 1])))
         held |= {i + n_orig for i in held}  # the mirrored copies
-        assert not (used & held), sorted(used & held)
-        # the fold does train on mirrored rows of the OTHER specimens
-        assert any(i >= n_orig for i in used)
-        assert len(used) == 2 * (n_orig - int(counts[k]))
+        assert not ((train | valid) & held), sorted((train | valid) & held)
+        # mirrors present in training (of train rows only)...
+        assert any(i >= n_orig for i in train)
+        assert {i - n_orig for i in train if i >= n_orig} == {
+            i for i in train if i < n_orig
+        }
+        # ...but no validation frame's mirror trains, and valid is original
+        assert all(i < n_orig for i in valid)
+        assert not ({i + n_orig for i in valid} & train)

@@ -454,3 +454,41 @@ class TestAsyncCheckpointer:
         ck.copy(src, dst)
         ck.wait()
         assert load_checkpoint(dst)["epoch"] == 10
+
+
+def test_dup_lr_flip_split_is_leak_free(tmp_path, fixture_h5):
+    """--dup-lr-flip: the random split happens over the UNDUPLICATED pool
+    (indices stored in the checkpoint span exactly range(N)) and mirrors
+    join the training side afterwards — no validation frame's mirror can
+    train, and resume reconstructs the identical duplicated set."""
+    from deepfluoro_tpu.train.loop import fit
+
+    cfg = small_cfg(max_num_epochs=1, train_valid_split=0.75, dup_lr_flip=True)
+    ck = str(tmp_path / "ck.pt")
+    out = fit(
+        fixture_h5, [1, 2], cfg,
+        checkpoint_filename=ck,
+        best_valid_filename=str(tmp_path / "b.pt"),
+        train_loss_txt=str(tmp_path / "tl.txt"),
+        valid_loss_txt=str(tmp_path / "vl.txt"),
+        verbose=False,
+    )
+    prev = load_checkpoint(ck)
+    n = 16  # 2 specimens x 8 projections, UNduplicated
+    used = sorted(prev["train-idx"]) + sorted(prev["valid-idx"])
+    assert sorted(used) == list(range(n))
+    assert prev["meta"]["dup-lr-flip"] is True
+
+    # resume for one more epoch: same split indices, trains through
+    cfg2 = small_cfg(max_num_epochs=2, train_valid_split=0.75, dup_lr_flip=True)
+    out2 = fit(
+        fixture_h5, [1, 2], cfg2,
+        checkpoint_filename=ck,
+        best_valid_filename=str(tmp_path / "b.pt"),
+        train_loss_txt=str(tmp_path / "tl.txt"),
+        valid_loss_txt=str(tmp_path / "vl.txt"),
+        verbose=False,
+    )
+    after = load_checkpoint(ck)
+    assert after["epoch"] == 2
+    assert list(after["train-idx"]) == list(prev["train-idx"])
