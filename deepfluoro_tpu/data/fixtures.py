@@ -131,6 +131,9 @@ def write_synthetic_fullres_dataset(
     rot-180-for-up})."""
     rng = np.random.default_rng(seed)
     spec_names = ["17-1882", "18-1109", "18-0725", "18-2799", "18-2800", "17-1905"]
+    # the JHU archive has exactly 6 cadavers; synthesize extra names beyond
+    # them instead of IndexError-ing (the preprocessed fixture scales too)
+    spec_names += ["99-{:04d}".format(s) for s in range(max(0, num_specimens - 6))]
     with h5.File(path, "w") as f:
         pp = f.create_group("proj-params")
         intrinsic = np.array(

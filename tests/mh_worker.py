@@ -65,7 +65,8 @@ state = place(state)
 
 my_idx = local_shard_indices(N, seed=3, epoch=0)
 print("SHARD", pid, sorted(int(i) for i in my_idx), flush=True)
-B_local = 8 // nproc
+assert cfg.batch_size % nproc == 0, (cfg.batch_size, nproc)
+B_local = cfg.batch_size // nproc
 sel = my_idx[:B_local]
 gp = global_batch_from_local(mesh, projs[sel])
 gs = global_batch_from_local(mesh, segs[sel])
@@ -96,6 +97,14 @@ sh = tp_state_shardings(tp_mesh, state, axis="model")
 placed = jax.tree.map(jax.device_put, state, sh)
 first_leaf = jax.tree.leaves(placed.params)[0]
 assert not first_leaf.is_fully_addressable, "expected cross-process shards"
+# genuinely SHARDED, not merely replicated-across-processes (any array on
+# a cross-process mesh is not fully addressable): at least one leaf's local
+# shard must be a strict piece of its global value (small/indivisible
+# leaves like biases legitimately replicate under the channel rule)
+assert any(
+    leaf.addressable_shards[0].data.shape != leaf.shape
+    for leaf in jax.tree.leaves(placed.params)
+), "no param leaf is actually channel-sharded across the mesh"
 
 sck = os.path.join(workdir, "mh_sharded_ck")
 save_sharded_checkpoint(

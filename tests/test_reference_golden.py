@@ -57,10 +57,17 @@ from deepfluoro_tpu.data.fixtures import write_synthetic_dataset  # noqa: E402
 # --------------------------------------------------------------------------
 
 def _install_torchvision_shim():
+    import importlib.util
+
     if "torchvision" in sys.modules and not getattr(
         sys.modules["torchvision"], "_dft_shim", False
     ):
-        return  # a real torchvision exists; use it
+        return  # a real torchvision is already imported; use it
+    if (
+        "torchvision" not in sys.modules
+        and importlib.util.find_spec("torchvision") is not None
+    ):
+        return  # a real torchvision is importable; never shadow it
     import PIL.Image
 
     tv = types.ModuleType("torchvision")
@@ -119,11 +126,14 @@ def _install_torchvision_shim():
         return matrix
 
     def affine(img, angle, translate, scale, shear, interpolation=PIL.Image.NEAREST):
-        # torchvision PIL path: center is the 1-based pixel center
-        # (w*0.5+0.5, h*0.5+0.5) — the same convention the reference uses
-        # for landmarks (dataset.py:230-231)
+        # torchvision PIL path on every version the reference can run
+        # (>=0.9 for InterpolationMode): center = (w*0.5, h*0.5) — the
+        # legacy +0.5 center was dropped upstream ('visually better to
+        # estimate the center without 0.5 offset'). The reference's
+        # LANDMARK transform keeps its own +0.5 center (dataset.py:230-231),
+        # which is exactly its documented 1px-off quirk.
         w, h = img.size
-        center = (w * 0.5 + 0.5, h * 0.5 + 0.5)
+        center = (w * 0.5, h * 0.5)
         matrix = _get_inverse_affine_matrix(
             center, angle, (float(translate[0]), float(translate[1])), scale,
             (float(shear[0]), float(shear[1])),
@@ -420,7 +430,7 @@ class TestGoldenDataset:
         ds = ref.dataset.get_dataset(fixture_h5, [1, 2], num_classes=7)
         ours = load_dataset(fixture_h5, [1, 2])
 
-        np.testing.assert_allclose(ds.projs.numpy()[:, 0], ours.projs, atol=0)
+        np.testing.assert_array_equal(ds.projs.numpy()[:, 0], ours.projs)
         onehot = np.eye(7, dtype=np.float32)[ours.segs]
         np.testing.assert_array_equal(
             ds.segs.numpy(), np.transpose(onehot, (0, 3, 1, 2))
@@ -430,9 +440,8 @@ class TestGoldenDataset:
         np.testing.assert_array_equal(
             np.isinf(ref_lands), np.isinf(ours.lands)
         )
-        np.testing.assert_allclose(
-            np.nan_to_num(ref_lands, posinf=0), np.nan_to_num(ours.lands, posinf=0),
-            atol=0,
+        np.testing.assert_array_equal(
+            np.nan_to_num(ref_lands, posinf=0), np.nan_to_num(ours.lands, posinf=0)
         )
 
     def test_get_dataset_minmax_parity(self, ref, fixture_h5):
@@ -574,7 +583,7 @@ class TestGoldenAffine:
         padded = np.pad(img, ((pad1, pad1), (pad2, pad2)), "reflect")
         ph, pw = padded.shape
         m = inverse_affine_matrix(
-            (pw * 0.5 + 0.5, ph * 0.5 + 0.5), self.ROT, (tx, ty), self.SCALE,
+            (pw * 0.5, ph * 0.5), self.ROT, (tx, ty), self.SCALE,
             (self.SHX, self.SHY),
         )
         warped = affine_warp(jnp.asarray(padded), m, order=1)
@@ -596,6 +605,7 @@ class TestGoldenAffine:
         )
         l_ours = np.asarray(transform_landmarks(jnp.asarray(lands), m_l, (h, w)))
         finite = np.isfinite(l_ref) & np.isfinite(l_ours)
+        assert finite.any(), "all landmarks OOB: the comparison is vacuous"
         np.testing.assert_allclose(l_ours[finite], l_ref[finite], atol=1e-3)
 
     def test_warped_blob_lands_on_transformed_landmark(self, ref):
