@@ -492,3 +492,32 @@ def test_dup_lr_flip_split_is_leak_free(tmp_path, fixture_h5):
     after = load_checkpoint(ck)
     assert after["epoch"] == 2
     assert list(after["train-idx"]) == list(prev["train-idx"])
+
+
+def test_remat_fit_matches_plain(tmp_path, fixture_h5):
+    """remat through the full fit() loop (fused step, BN, checkpointing):
+    same seed and data must give the same losses/params as remat=False up
+    to float reassociation, and the flag must persist in checkpoint meta."""
+    from deepfluoro_tpu.train.loop import fit
+
+    outs = {}
+    for remat in (False, True):
+        cfg = small_cfg(max_num_epochs=2, remat=remat)
+        ck = str(tmp_path / "ck_{}.pt".format(int(remat)))
+        outs[remat] = fit(
+            fixture_h5, [1, 2], cfg,
+            checkpoint_filename=ck,
+            best_valid_filename=str(tmp_path / "b_{}.pt".format(int(remat))),
+            train_loss_txt=str(tmp_path / "tl_{}.txt".format(int(remat))),
+            valid_loss_txt=str(tmp_path / "vl_{}.txt".format(int(remat))),
+            verbose=False,
+        )
+        assert load_checkpoint(ck)["meta"]["remat"] is remat
+    np.testing.assert_allclose(
+        outs[True]["best_valid_loss"], outs[False]["best_valid_loss"], rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(outs[False]["state"].params),
+        jax.tree.leaves(outs[True]["state"].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
