@@ -18,6 +18,7 @@ checkpoints on exit (train.py:569-576).
 
 from __future__ import annotations
 
+import math
 import os
 import signal
 import time
@@ -52,6 +53,15 @@ def _padded_dim(orig_dim: int, pad_dim: int) -> int:
     return orig_dim
 
 
+def _replicated_sharding(mesh):
+    """Fully-replicated NamedSharding over ``mesh`` (None passes through)."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P())
+
+
 def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None, mesh=None):
     """Per-image losses over a dataset -> (mean, std). Matches the reference's
     batch-1 no-grad loop (util.py:116-165) but batched on device; std follows
@@ -67,11 +77,7 @@ def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None, me
     and the cost is negligible at validation scale. Under jax.distributed
     all processes must call this in lockstep.
     """
-    repl = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
+    repl = _replicated_sharding(mesh)
     losses = []
     it = iterator if iterator is not None else BatchIterator(data, batch_size=batch_size, shuffle=False)
     for bi, (projs, segs, lands) in enumerate(it.epoch()):
@@ -144,16 +150,21 @@ def fit(
             "multi-process fit() requires a device mesh (--dp-devices / "
             "--spatial-devices with --num-processes)"
         )
-        assert cfg.batch_size % int(mesh.shape["data"]) == 0, (
-            "multi-host training assembles each global batch strictly evenly "
-            "over the 'data' axis: batch_size {} must be divisible by the "
-            "{}-way data axis".format(cfg.batch_size, int(mesh.shape["data"]))
+        # the explicit cross-process assembly needs the global batch to
+        # split evenly over the data axis (device slices) AND over the
+        # processes (make_array_from_process_local_data's host slices) —
+        # the axis can be smaller than the process count on DP x spatial
+        # meshes, so both constraints apply
+        _mh_div = math.lcm(int(mesh.shape["data"]), jax.process_count())
+        assert cfg.batch_size % _mh_div == 0, (
+            "multi-host training assembles each global batch strictly evenly: "
+            "batch_size {} must be divisible by lcm(data axis {}, "
+            "process count {}) = {}".format(
+                cfg.batch_size, int(mesh.shape["data"]), jax.process_count(),
+                _mh_div,
+            )
         )
-    repl = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
+    repl = _replicated_sharding(mesh)
 
     # ----- resume -------------------------------------------------------
     train_idx = valid_idx = None
@@ -264,6 +275,12 @@ def fit(
         )
 
     orig_h, orig_w = train_data.orig_img_shape
+    # init traces the model at (pad_h, pad_h) and the pad math derives the
+    # width pad from H — square frames are assumed throughout (true of every
+    # DeepFluoro archive); fail loudly rather than init at the wrong width
+    assert orig_h == orig_w, (
+        "non-square projections ({}, {}) are not supported".format(orig_h, orig_w)
+    )
     pad_h = _padded_dim(orig_h, cfg.proj_unet_dim)
 
     aug_train = AugmentConfig(
@@ -465,11 +482,14 @@ def fit(
 
     # graceful-termination: a SIGTERM finishes the current epoch, then the
     # normal always-checkpoint-on-exit path runs (the reference only covers
-    # the wall-clock budget case, train.py:557-576)
+    # the wall-clock budget case, train.py:557-576). The handler ONLY sets a
+    # flag: print() from signal context re-enters stdout's non-reentrant
+    # buffer lock and can raise at the main thread's current bytecode —
+    # killing training without the checkpoint the handler exists to save.
+    # The message is logged from the loop when the flag is observed.
     stop_requested = {"flag": False}
 
     def _on_sigterm(signum, frame):
-        log("SIGTERM received - will checkpoint and exit after this epoch")
         stop_requested["flag"] = True
 
     prev_handler = None
@@ -479,245 +499,276 @@ def fit(
         pass  # not the main thread
 
     log("Start Training...")
-    keep_training = True
-    while keep_training:
-        epoch_start = time.time()
-        log("Epoch: {:03d}".format(epoch))
+    completed = False
+    try:
+        keep_training = True
+        while keep_training:
+            epoch_start = time.time()
+            log("Epoch: {:03d}".format(epoch))
 
-        num_batches = 0
-        avg_loss = 0.0
-        running_loss = 0.0
-        running_loss_num_iters = max(1, int(0.05 * train_ds_len))
-        running_loss_iter = 0
-        num_examples_run = 0
+            num_batches = 0
+            avg_loss = 0.0
+            running_loss = 0.0
+            running_loss_num_iters = max(1, int(0.05 * train_ds_len))
+            running_loss_iter = 0
+            num_examples_run = 0
 
-        # Losses are fetched lazily so device dispatch runs ahead of the
-        # host (the reference syncs every step via loss.item(), train.py:430).
-        # Values drain at each 5%-progress boundary and at epoch end, which
-        # preserves the per-iteration loss-file contract.
-        pending_losses = []
+            # Losses are fetched lazily so device dispatch runs ahead of the
+            # host (the reference syncs every step via loss.item(), train.py:430).
+            # Values drain at each 5%-progress boundary and at epoch end, which
+            # preserves the per-iteration loss-file contract.
+            pending_losses = []
 
-        def drain_losses():
-            nonlocal avg_loss, num_batches, running_loss, running_loss_iter, last_loss
-            for dev_loss in pending_losses:
-                l = float(dev_loss)
-                last_loss = l
-                if train_loss_out is not None:
-                    train_loss_out.write(l)
-                avg_loss += l
-                num_batches += 1
-                running_loss += l
-                running_loss_iter += 1
-                if running_loss_iter == running_loss_num_iters:
-                    log("    Running Avg. Loss: {:.6f}".format(running_loss / running_loss_num_iters))
-                    running_loss_iter = 0
-                    running_loss = 0.0
-            pending_losses.clear()
-
-        if feed_mode == "stream":
-            batches = enumerate(train_stream.epoch())
-        else:
-            order = np.arange(train_ds_len)
-            shuffle_rng.shuffle(order)
-            batches = enumerate(range(0, train_ds_len, cfg.batch_size))
-
-        for bi, item in batches:
-            if lr_sched is not None:
-                lr = lr_sched.get_lr()
-            else:
-                lr = cfg.init_lr
+            def drain_losses():
+                nonlocal avg_loss, num_batches, running_loss, running_loss_iter, last_loss
+                for dev_loss in pending_losses:
+                    l = float(dev_loss)
+                    last_loss = l
+                    if train_loss_out is not None:
+                        train_loss_out.write(l)
+                    avg_loss += l
+                    num_batches += 1
+                    running_loss += l
+                    running_loss_iter += 1
+                    if running_loss_iter == running_loss_num_iters:
+                        log("    Running Avg. Loss: {:.6f}".format(running_loss / running_loss_num_iters))
+                        running_loss_iter = 0
+                        running_loss = 0.0
+                pending_losses.clear()
 
             if feed_mode == "stream":
-                projs_b, segs_b, lands_b = item
-                bsize = int(projs_b.shape[0])
-                state, loss = stream_step(
-                    state, projs_b, segs_b, lands_b,
-                    epoch * train_ds_len + bi * cfg.batch_size, lr,
-                )
-            elif feed_mode == "multihost":
-                from deepfluoro_tpu.parallel.multihost import (
-                    global_batch_from_local,
-                    local_batch_slice,
-                )
-
-                gidx = order[item : item + cfg.batch_size]
-                bsize = int(gidx.shape[0])
-                # the explicit cross-process batch assembly
-                # (make_array_from_process_local_data) requires the global
-                # batch to split EVENLY over the whole 'data' axis — unlike
-                # the in-program sharding constraints of the single-process
-                # paths, which tolerate uneven partitions
-                data_size = int(mesh.shape["data"])
-                if bsize % data_size != 0:
-                    # indivisible final partial batch: every device must
-                    # receive an equal slice, so it is dropped (the
-                    # epoch-dependent shuffle rotates which examples)
-                    log("    skipping {}-example tail batch (not divisible "
-                        "over the {}-way data axis)".format(bsize, data_size))
-                    num_examples_run += bsize
-                    if lr_sched is not None and lrs_is_cos:
-                        lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
-                    continue
-                lidx = local_batch_slice(gidx)
-                projs_b = global_batch_from_local(mesh, train_data.projs[lidx])
-                segs_b = (
-                    None if train_data.segs is None
-                    else global_batch_from_local(mesh, train_data.segs[lidx])
-                )
-                lands_b = (
-                    None if train_data.lands is None
-                    else global_batch_from_local(mesh, train_data.lands[lidx])
-                )
-                state, loss = stream_step(
-                    state, projs_b, segs_b, lands_b,
-                    epoch * train_ds_len + item, lr,
-                )
+                batches = enumerate(train_stream.epoch())
             else:
-                idx = order[item : item + cfg.batch_size]
-                bsize = int(idx.shape[0])
-                state, loss = fused_step(
-                    state, projs_all, segs_all, lands_all,
-                    idx, epoch * train_ds_len + item, lr,
-                )
-            pending_losses.append(loss)
+                order = np.arange(train_ds_len)
+                shuffle_rng.shuffle(order)
+                batches = enumerate(range(0, train_ds_len, cfg.batch_size))
 
-            num_examples_run += bsize
-            if lr_sched is not None and lrs_is_cos:
-                lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
+            for bi, item in batches:
+                if lr_sched is not None:
+                    lr = lr_sched.get_lr()
+                else:
+                    lr = cfg.init_lr
 
-            if len(pending_losses) >= running_loss_num_iters:
-                drain_losses()
+                if feed_mode == "stream":
+                    projs_b, segs_b, lands_b = item
+                    bsize = int(projs_b.shape[0])
+                    state, loss = stream_step(
+                        state, projs_b, segs_b, lands_b,
+                        epoch * train_ds_len + bi * cfg.batch_size, lr,
+                    )
+                elif feed_mode == "multihost":
+                    from deepfluoro_tpu.parallel.multihost import (
+                        global_batch_from_local,
+                        local_batch_slice,
+                    )
 
-        drain_losses()
-        avg_loss /= num_batches
+                    gidx = order[item : item + cfg.batch_size]
+                    bsize = int(gidx.shape[0])
+                    # the explicit cross-process batch assembly
+                    # (make_array_from_process_local_data) requires the global
+                    # batch to split EVENLY over the whole 'data' axis — unlike
+                    # the in-program sharding constraints of the single-process
+                    # paths, which tolerate uneven partitions
+                    # equal slices per device AND per process (lcm: the data
+                    # axis can be smaller than the process count on DP x
+                    # spatial meshes and local_batch_slice splits by process)
+                    div = math.lcm(int(mesh.shape["data"]), jax.process_count())
+                    if bsize % div != 0:
+                        # indivisible final partial batch: dropped (the
+                        # epoch-dependent shuffle rotates which examples);
+                        # the shared example/LR bookkeeping below still runs
+                        log("    skipping {}-example tail batch (not divisible "
+                            "into {} equal device/process slices)".format(bsize, div))
+                        loss = None
+                    else:
+                        lidx = local_batch_slice(gidx)
+                        projs_b = global_batch_from_local(mesh, train_data.projs[lidx])
+                        segs_b = (
+                            None if train_data.segs is None
+                            else global_batch_from_local(mesh, train_data.segs[lidx])
+                        )
+                        lands_b = (
+                            None if train_data.lands is None
+                            else global_batch_from_local(mesh, train_data.lands[lidx])
+                        )
+                        state, loss = stream_step(
+                            state, projs_b, segs_b, lands_b,
+                            epoch * train_ds_len + item, lr,
+                        )
+                else:
+                    idx = order[item : item + cfg.batch_size]
+                    bsize = int(idx.shape[0])
+                    state, loss = fused_step(
+                        state, projs_all, segs_all, lands_all,
+                        idx, epoch * train_ds_len + item, lr,
+                    )
+                if loss is not None:
+                    pending_losses.append(loss)
 
-        log("  Running validation")
-        rng, vkey = jax.random.split(rng)
-        avg_valid_loss, std_valid_loss = evaluate(
-            eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey,
-            iterator=valid_iter, mesh=mesh,
-        )
-        if valid_loss_out is not None:
-            valid_loss_out.write(avg_valid_loss)
+                num_examples_run += bsize
+                if lr_sched is not None and lrs_is_cos:
+                    lr_sched.intra_epoch_step(num_examples_run / train_ds_len)
 
-        log("  Avg. Training Loss: {:.6f}".format(avg_loss))
-        log("  Validation Loss: {:.6f} +/- {:.6f}".format(avg_valid_loss, std_valid_loss))
+                if len(pending_losses) >= running_loss_num_iters:
+                    drain_losses()
 
-        if lr_sched is not None:
-            if lrs_plateau:
-                lr_sched.step(avg_valid_loss)
-            else:
-                lr_sched.step()
-            if lrs_is_cos and lr_sched.just_restarted:
-                log("  Next epoch is warm restart...")
-                num_restarts += 1
+            drain_losses()
+            avg_loss /= num_batches
 
-        epoch += 1
-
-        new_best_valid = False
-        if best_valid_loss is None or avg_valid_loss < best_valid_loss:
-            best_valid_loss = avg_valid_loss
-            new_best_valid = True
-
-        def save_net(net_path, light=False):
-            # async: snapshot on device, write in a background thread so the
-            # next epoch trains while the (large) state serializes. light
-            # saves (cfg.light_best_nets) drop optimizer/scheduler state —
-            # best-valid / pre-restart files are inference artifacts
-            checkpointer.save(
-                net_path,
-                meta=cfg.to_checkpoint_meta(),
-                params=state.params,
-                batch_stats=state.batch_stats,
-                opt_state=None if light else state.opt_state,
-                sched_state=None if light else (
-                    lr_sched.state_dict() if lr_sched is not None else None
-                ),
-                epoch=epoch,
-                best_valid_loss=best_valid_loss,
-                last_loss=last_loss,
-                num_restarts=num_restarts,
-                train_idx=train_idx,
-                valid_idx=valid_idx,
+            log("  Running validation")
+            rng, vkey = jax.random.split(rng)
+            avg_valid_loss, std_valid_loss = evaluate(
+                eval_step, state, valid_data, aug_eval, cfg.batch_size, vkey,
+                iterator=valid_iter, mesh=mesh,
             )
+            if valid_loss_out is not None:
+                valid_loss_out.write(avg_valid_loss)
 
-        net_saved_this_epoch_path = None
-        if (epoch % cfg.checkpoint_freq) == 0:
-            log("  Saving checkpoint")
-            save_net(checkpoint_filename)
-            net_saved_this_epoch_path = checkpoint_filename
+            log("  Avg. Training Loss: {:.6f}".format(avg_loss))
+            log("  Validation Loss: {:.6f} +/- {:.6f}".format(avg_valid_loss, std_valid_loss))
 
-        if new_best_valid and cfg.save_best_valid:
-            log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
-            if net_saved_this_epoch_path is not None and not cfg.light_best_nets:
-                # ordered behind the pending save of the source file — the
-                # reference's copy-instead-of-resave optimization
-                # (train.py:523-531) without blocking the next epoch. With
-                # light_best_nets the copy would publish a full-state file,
-                # so the light save path is taken instead.
-                checkpointer.copy(net_saved_this_epoch_path, best_valid_filename)
-            else:
-                save_net(best_valid_filename, light=cfg.light_best_nets)
-                if not cfg.light_best_nets:
-                    net_saved_this_epoch_path = best_valid_filename
+            if lr_sched is not None:
+                if lrs_plateau:
+                    lr_sched.step(avg_valid_loss)
+                else:
+                    lr_sched.step()
+                if lrs_is_cos and lr_sched.just_restarted:
+                    log("  Next epoch is warm restart...")
+                    num_restarts += 1
 
-        if (
-            lrs_is_cos
-            and lr_sched.just_restarted
-            and cfg.save_restart_net_prefix
-            and num_restarts >= cfg.save_after_n_restarts
-        ):
-            restart_net_path = "{}_{:02d}.pt".format(
-                cfg.save_restart_net_prefix, num_restarts - 1
-            )
-            log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
-            if net_saved_this_epoch_path is not None and not cfg.light_best_nets:
-                checkpointer.copy(net_saved_this_epoch_path, restart_net_path)
-            else:
-                save_net(restart_net_path, light=cfg.light_best_nets)
-                if not cfg.light_best_nets:
-                    net_saved_this_epoch_path = restart_net_path
+            epoch += 1
 
-        this_epoch_hours = (time.time() - epoch_start) / 3600.0
-        log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
-        tot_time_hours += this_epoch_hours
-        epochs_this_session += 1
-        avg_epoch_time_hours = tot_time_hours / epochs_this_session
-        log("  Current average epoch runtime: {:.4f} hours".format(avg_epoch_time_hours))
+            new_best_valid = False
+            if best_valid_loss is None or avg_valid_loss < best_valid_loss:
+                best_valid_loss = avg_valid_loss
+                new_best_valid = True
 
-        if stop_requested["flag"]:
-            keep_training = False
-            log("  Exiting - termination requested!")
-        if enforce_max_hours:
-            if (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
-                log("  Exiting - did not expect to be able to complete next epoch within time limit!")
-                keep_training = False
-        if enforce_max_num_restarts:
-            if num_restarts >= cfg.max_num_restarts:
-                keep_training = False
-                log("  Exiting - maximum number of restarts performed!")
-        elif epoch >= cfg.max_num_epochs:
-            keep_training = False
-            log("  Exiting - maximum number of epochs performed!")
+            def save_net(net_path, light=False):
+                # async: snapshot on device, write in a background thread so the
+                # next epoch trains while the (large) state serializes. light
+                # saves (cfg.light_best_nets) drop optimizer/scheduler state —
+                # best-valid / pre-restart files are inference artifacts
+                checkpointer.save(
+                    net_path,
+                    meta=cfg.to_checkpoint_meta(),
+                    params=state.params,
+                    batch_stats=state.batch_stats,
+                    opt_state=None if light else state.opt_state,
+                    sched_state=None if light else (
+                        lr_sched.state_dict() if lr_sched is not None else None
+                    ),
+                    epoch=epoch,
+                    best_valid_loss=best_valid_loss,
+                    last_loss=last_loss,
+                    num_restarts=num_restarts,
+                    train_idx=train_idx,
+                    valid_idx=valid_idx,
+                )
 
-        if not keep_training:
-            log("    saving checkpoint before exit!")
-            if net_saved_this_epoch_path is None:
+            net_saved_this_epoch_path = None
+            if (epoch % cfg.checkpoint_freq) == 0:
+                log("  Saving checkpoint")
                 save_net(checkpoint_filename)
-            elif net_saved_this_epoch_path != checkpoint_filename:
-                checkpointer.copy(net_saved_this_epoch_path, checkpoint_filename)
+                net_saved_this_epoch_path = checkpoint_filename
 
-    log("Training Hours: {:.4f}".format(tot_time_hours))
-    checkpointer.wait()
-    if train_loss_out is not None:
-        train_loss_out.close()
-    if valid_loss_out is not None:
-        valid_loss_out.close()
-    if prev_handler is not None:
+            if new_best_valid and cfg.save_best_valid:
+                log("  Saving best validation (loss: {:.6f})".format(best_valid_loss))
+                if net_saved_this_epoch_path is not None and not cfg.light_best_nets:
+                    # ordered behind the pending save of the source file — the
+                    # reference's copy-instead-of-resave optimization
+                    # (train.py:523-531) without blocking the next epoch. With
+                    # light_best_nets the copy would publish a full-state file,
+                    # so the light save path is taken instead.
+                    checkpointer.copy(net_saved_this_epoch_path, best_valid_filename)
+                else:
+                    save_net(best_valid_filename, light=cfg.light_best_nets)
+                    if not cfg.light_best_nets:
+                        net_saved_this_epoch_path = best_valid_filename
+
+            if (
+                lrs_is_cos
+                and lr_sched.just_restarted
+                and cfg.save_restart_net_prefix
+                and num_restarts >= cfg.save_after_n_restarts
+            ):
+                restart_net_path = "{}_{:02d}.pt".format(
+                    cfg.save_restart_net_prefix, num_restarts - 1
+                )
+                log("  Saving network before restart {} to {}".format(num_restarts, restart_net_path))
+                if net_saved_this_epoch_path is not None and not cfg.light_best_nets:
+                    checkpointer.copy(net_saved_this_epoch_path, restart_net_path)
+                else:
+                    save_net(restart_net_path, light=cfg.light_best_nets)
+                    if not cfg.light_best_nets:
+                        net_saved_this_epoch_path = restart_net_path
+
+            this_epoch_hours = (time.time() - epoch_start) / 3600.0
+            log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
+            tot_time_hours += this_epoch_hours
+            epochs_this_session += 1
+            avg_epoch_time_hours = tot_time_hours / epochs_this_session
+            log("  Current average epoch runtime: {:.4f} hours".format(avg_epoch_time_hours))
+
+            if stop_requested["flag"]:
+                keep_training = False
+                log("  Exiting - termination requested!")
+            if enforce_max_hours:
+                if (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
+                    log("  Exiting - did not expect to be able to complete next epoch within time limit!")
+                    keep_training = False
+            if enforce_max_num_restarts:
+                if num_restarts >= cfg.max_num_restarts:
+                    keep_training = False
+                    log("  Exiting - maximum number of restarts performed!")
+            elif epoch >= cfg.max_num_epochs:
+                keep_training = False
+                log("  Exiting - maximum number of epochs performed!")
+
+            if multiproc:
+                # the stop decision has per-PROCESS inputs (local wall clock for
+                # --max-hours, a SIGTERM delivered to one host): without
+                # agreement, one process leaves the loop while its peers block
+                # forever at the next collective. Stop everywhere if ANY process
+                # wants to stop.
+                from jax.experimental import multihost_utils
+
+                stops = np.asarray(
+                    multihost_utils.process_allgather(
+                        np.asarray([0 if keep_training else 1], np.int32)
+                    )
+                ).reshape(-1)
+                if int(stops.max()) and keep_training:
+                    keep_training = False
+                    log("  Exiting - a peer process requested termination!")
+
+            if not keep_training:
+                log("    saving checkpoint before exit!")
+                if net_saved_this_epoch_path is None:
+                    save_net(checkpoint_filename)
+                elif net_saved_this_epoch_path != checkpoint_filename:
+                    checkpointer.copy(net_saved_this_epoch_path, checkpoint_filename)
+
+        log("Training Hours: {:.4f}".format(tot_time_hours))
+        completed = True
+    finally:
+        # teardown runs on EVERY exit (an exception mid-epoch must not
+        # leak the installed SIGTERM handler or abandon in-flight async
+        # checkpoint writes); on the exceptional path a checkpointer
+        # error must not mask the original exception
         try:
-            signal.signal(signal.SIGTERM, prev_handler)
-        except ValueError:
-            pass
+            checkpointer.wait()
+        except Exception:
+            if completed:
+                raise
+        if train_loss_out is not None:
+            train_loss_out.close()
+        if valid_loss_out is not None:
+            valid_loss_out.close()
+        if prev_handler is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_handler)
+            except ValueError:
+                pass
 
     return {
         "state": state,
