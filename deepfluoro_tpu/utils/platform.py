@@ -32,12 +32,28 @@ def enable_compilation_cache(path: str | None = None) -> None:
         pass
 
 
+def _pin_backend(platform: str) -> None:
+    """Eagerly initialize ONLY the named backend. A lazy first backend touch
+    (jax.process_count() etc.) goes through get_backend(None), which some
+    plugin shims (the axon remote-TPU register) route into initializing
+    their own platform FIRST — dialing a dead tunnel hangs the process
+    indefinitely even though the user asked for cpu. An explicit-platform
+    devices() call initializes just that backend and pins it as default."""
+    import jax
+
+    try:
+        jax.devices(platform)
+    except Exception:
+        pass  # unknown platform name etc.; fall back to lazy init
+
+
 def select_platform(no_gpu: bool = False) -> None:
     """Call before any jax computation. no_gpu forces the CPU backend."""
     import jax
 
     if no_gpu:
         jax.config.update("jax_platforms", "cpu")
+        _pin_backend("cpu")
         return
     env = os.environ.get("JAX_PLATFORMS")
     if env:
@@ -45,3 +61,7 @@ def select_platform(no_gpu: bool = False) -> None:
             jax.config.update("jax_platforms", env)
         except Exception:
             pass  # backends already initialized; keep whatever is active
+        else:
+            first = env.split(",")[0].strip()
+            if first:
+                _pin_backend(first)
