@@ -84,17 +84,20 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
-
-    select_platform(no_gpu=args.no_gpu)
-    enable_compilation_cache()
-
     # multi-host entry: join the pod BEFORE any device query (SURVEY §2.3
-    # comm-backend row — jax.distributed is the NCCL/MPI equivalent)
+    # comm-backend row — jax.distributed is the NCCL/MPI equivalent).
+    # Must precede select_platform: that now eagerly PINS the requested
+    # backend (initializing it), and jax.distributed.initialize refuses to
+    # run once any backend exists.
     if args.num_processes and args.num_processes > 1:
         from deepfluoro_tpu.parallel.multihost import initialize
 
         initialize(args.coordinator, args.num_processes, args.process_id)
+
+    from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
+
+    select_platform(no_gpu=args.no_gpu)
+    enable_compilation_cache()
 
     mesh = None
     if args.dp_devices != 1 or args.spatial_devices > 1 or args.tp_devices > 1 or (
