@@ -287,6 +287,22 @@ def load_dataset(
     return data
 
 
+def split_indices(n: int, train_valid_split: float, seed: int | None = None):
+    """The split core shared by every trainer: ceil(split*n) train positions
+    after a Random(seed) shuffle (reference dataset.py:524-551 semantics).
+    Single source so fit() and fit_multifold can never drift apart."""
+    assert 0.0 < train_valid_split < 1.0
+    num_train = int(math.ceil(train_valid_split * n))
+    if n - num_train == 0:
+        raise ValueError(
+            "train_valid_split={} leaves an empty validation set for {} "
+            "samples".format(train_valid_split, n)
+        )
+    all_inds = list(range(n))
+    _pyrandom.Random(seed).shuffle(all_inds)
+    return all_inds[:num_train], all_inds[num_train:]
+
+
 def split_train_valid(
     data: FluoroData,
     train_valid_split: float,
@@ -314,11 +330,7 @@ def split_train_valid(
         or train_valid_idx[0] is None
         or train_valid_idx[1] is None
     ):
-        all_inds = list(range(n))
-        rng = _pyrandom.Random(seed)
-        rng.shuffle(all_inds)
-        train_inds = all_inds[:num_train]
-        valid_inds = all_inds[num_train:]
+        train_inds, valid_inds = split_indices(n, train_valid_split, seed)
     else:
         train_inds = list(train_valid_idx[0])
         valid_inds = list(train_valid_idx[1])

@@ -240,7 +240,10 @@ def fit(
             try:
                 names = get_land_names_from_dataset(data_file_path)
             except (KeyError, OSError):
-                names = None
+                log("WARNING: archive has no readable land-names group; "
+                    "flip duplication falls back to ADJACENT-PAIR landmark "
+                    "swapping — verify the landmark channel order is "
+                    "(X-l, X-r) pairs")
         return lr_flip_duplicate(data, land_names=names)
 
     if cfg.train_valid_split >= 0:

@@ -330,20 +330,13 @@ class _FoldStream:
 
 
 def _split_pool(pool: np.ndarray, split: float, seed: int):
-    """Random train/valid split of a fold's index pool (same semantics as
-    data.hdf5.split_train_valid: ceil(split*n) train, shuffled)."""
-    import math
-    import random as _pyrandom
+    """Random train/valid split of a fold's index pool — delegates to the
+    SHARED split core (data.hdf5.split_indices) so fit() and fit_multifold
+    can never drift apart in split semantics."""
+    from deepfluoro_tpu.data.hdf5 import split_indices
 
-    n = len(pool)
-    num_train = int(math.ceil(split * n))
-    if n - num_train == 0:
-        raise ValueError(
-            "train_valid_split={} leaves an empty validation set for {} samples".format(split, n)
-        )
-    order = list(range(n))
-    _pyrandom.Random(seed).shuffle(order)
-    return pool[order[:num_train]], pool[order[num_train:]]
+    t, v = split_indices(len(pool), split, seed)
+    return pool[t], pool[v]
 
 
 def fit_multifold(
@@ -391,6 +384,16 @@ def fit_multifold(
         "fit_multifold validates on a per-fold split of the training pool "
         "(the held-out specimen is the TEST set); set cfg.train_valid_split"
     )
+    # loud guard instead of a deadlock: the fold loop lacks loop.fit's
+    # cross-process stop agreement and its host-side loss drains assume
+    # addressable arrays — 'ensemble' sharding is a SINGLE-host (ICI)
+    # feature today
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "fit_multifold does not support multi-process (jax.distributed) "
+            "runs; shard the fold axis over the devices of one host, or "
+            "run per-fold fit() processes"
+        )
 
     ck_paths = ["{}_spec{:02d}.pt".format(checkpoint_prefix, p) for p in pats]
     best_paths = ["{}_spec{:02d}.pt".format(best_prefix, p) for p in pats]
@@ -443,7 +446,10 @@ def fit_multifold(
             try:
                 names = get_land_names_from_dataset(data_file_path)
             except (KeyError, OSError):
-                names = None
+                log("WARNING: archive has no readable land-names group; "
+                    "flip duplication falls back to ADJACENT-PAIR landmark "
+                    "swapping — verify the landmark channel order is "
+                    "(X-l, X-r) pairs")
         union = lr_flip_duplicate(union, land_names=names)
 
     train_idx, valid_idx = [], []
@@ -454,6 +460,18 @@ def fit_multifold(
             t = np.asarray(prev[k]["train-idx"], np.int64)
             v = np.asarray(prev[k]["valid-idx"], np.int64)
             assert len(t) and len(v)
+            # stored indices are offsets into the union as laid out by the
+            # ORIGINAL --pats order; a reordered resume would silently remap
+            # them onto the wrong specimens (incl. the held-out one)
+            allowed = {int(i) for i in pool}
+            if cfg.dup_lr_flip:
+                allowed |= {i + n_orig for i in allowed}
+            used = {int(i) for i in t} | {int(i) for i in v}
+            assert used <= allowed, (
+                "fold {}: checkpoint train/valid indices fall outside this "
+                "fold's specimen pool — was the run resumed with a different "
+                "--pats order than it was started with?".format(k)
+            )
         else:
             t, v = _split_pool(pool, cfg.train_valid_split, cfg.seed + k)
             if cfg.dup_lr_flip:
@@ -573,9 +591,20 @@ def fit_multifold(
         eval_step = make_multifold_eval_step(
             cfg, model, aug_eval, num_lands_for_loss=eval_lands, mesh=mesh
         )
-        projs_all = jnp.asarray(union.projs)
-        segs_all = None if union.segs is None else jnp.asarray(union.segs)
-        lands_all = None if union.lands is None else jnp.asarray(union.lands)
+        if mesh is None:
+            place_union = jnp.asarray
+        else:
+            # replicate the union across the mesh explicitly: a bare
+            # jnp.asarray commits it to ONE device and the shard_map'd step
+            # would re-broadcast the whole archive every dispatch (loop.fit
+            # places its resident dataset the same way)
+            from deepfluoro_tpu.train.loop import _replicated_sharding
+
+            repl = _replicated_sharding(mesh)
+            place_union = lambda x: jax.device_put(np.asarray(x), repl)
+        projs_all = place_union(union.projs)
+        segs_all = None if union.segs is None else place_union(union.segs)
+        lands_all = None if union.lands is None else place_union(union.lands)
 
     streams = [_FoldStream(train_idx[k], cfg.seed + 101 * (k + 1)) for k in range(k_folds)]
     steps_per_epoch = -(-max(len(t) for t in train_idx) // cfg.batch_size)
@@ -617,10 +646,13 @@ def fit_multifold(
     epochs_this_session = 0
     last_losses = np.full((k_folds,), np.nan)
 
+    # flag-only handler: print() from signal context can re-enter stdout's
+    # non-reentrant buffer lock and raise mid-loop, killing training without
+    # the exit checkpoint (same hazard loop.fit documents); the message is
+    # logged when the flag is observed at epoch end
     stop_requested = {"flag": False}
 
     def _on_sigterm(signum, frame):
-        log("SIGTERM received - will checkpoint and exit after this epoch")
         stop_requested["flag"] = True
 
     prev_handler = None
@@ -649,209 +681,221 @@ def fit_multifold(
         )
 
     log("Start Training ({} folds in lockstep)...".format(k_folds))
-    keep_training = True
-    while keep_training:
-        epoch_start = time.time()
-        log("Epoch: {:03d}".format(epoch))
+    completed = False
+    try:
+        keep_training = True
+        while keep_training:
+            epoch_start = time.time()
+            log("Epoch: {:03d}".format(epoch))
 
-        pending = []  # (K,) device loss vectors, drained lazily
-        epoch_loss_sum = np.zeros((k_folds,), np.float64)
-        epoch_loss_n = 0
+            pending = []  # (K,) device loss vectors, drained lazily
+            epoch_loss_sum = np.zeros((k_folds,), np.float64)
+            epoch_loss_n = 0
 
-        def drain():
-            nonlocal last_losses, epoch_loss_sum, epoch_loss_n
-            for dev in pending:
-                vals = np.asarray(dev)
-                last_losses = vals  # last-step losses: the checkpoint 'loss'
-                epoch_loss_sum += vals
-                epoch_loss_n += 1
-                if train_loss_out is not None:
-                    for k in range(k_folds):
-                        train_loss_out[k].write(float(vals[k]))
-            pending.clear()
+            def drain():
+                nonlocal last_losses, epoch_loss_sum, epoch_loss_n
+                for dev in pending:
+                    vals = np.asarray(dev)
+                    last_losses = vals  # last-step losses: the checkpoint 'loss'
+                    epoch_loss_sum += vals
+                    epoch_loss_n += 1
+                    if train_loss_out is not None:
+                        for k in range(k_folds):
+                            train_loss_out[k].write(float(vals[k]))
+                pending.clear()
 
-        batch_iter = None
-        if stream_data:
-
-            def make_batch(s, _epoch=epoch):
-                idx = np.stack([st.take(cfg.batch_size) for st in streams])
-                base = (_epoch * steps_per_epoch + s) * k_folds
-                seeds = base + np.arange(k_folds, dtype=np.int32)
-                return assemble(idx) + (jnp.asarray(seeds),)
-
-            # producer-thread prefetch: host batch assembly + async
-            # device_put of upcoming batches overlap this step's compute
-            batch_iter = prefetch_sequence(make_batch, steps_per_epoch)
-
-        for s in range(steps_per_epoch):
-            if scheds[0] is not None:
-                lr_vec = np.asarray([sc.get_lr() for sc in scheds], np.float32)
-            else:
-                lr_vec = np.full((k_folds,), cfg.init_lr, np.float32)
-
+            batch_iter = None
             if stream_data:
-                projs_b, segs_b, lands_b, seeds_j = next(batch_iter)
-                stacked, losses = fused_step(
-                    stacked, projs_b, segs_b, lands_b, seeds_j, jnp.asarray(lr_vec)
-                )
-            else:
-                idx = np.stack([st.take(cfg.batch_size) for st in streams])
-                base = (epoch * steps_per_epoch + s) * k_folds
-                seeds = base + np.arange(k_folds, dtype=np.int32)
-                stacked, losses = fused_step(
-                    stacked, projs_all, segs_all, lands_all,
-                    jnp.asarray(idx), jnp.asarray(seeds), jnp.asarray(lr_vec),
-                )
-            pending.append(losses)
 
-            if lrs_is_cos and scheds[0] is not None:
-                frac = (s + 1) / steps_per_epoch
-                for sc in scheds:
-                    sc.intra_epoch_step(frac)
+                def make_batch(s, _epoch=epoch):
+                    idx = np.stack([st.take(cfg.batch_size) for st in streams])
+                    base = (_epoch * steps_per_epoch + s) * k_folds
+                    seeds = base + np.arange(k_folds, dtype=np.int32)
+                    return assemble(idx) + (jnp.asarray(seeds),)
 
-            if len(pending) >= max(1, steps_per_epoch // 4):
-                drain()
+                # producer-thread prefetch: host batch assembly + async
+                # device_put of upcoming batches overlap this step's compute
+                batch_iter = prefetch_sequence(make_batch, steps_per_epoch)
 
-        drain()
-
-        log("  Running validation")
-        per_fold_losses = [[] for _ in range(k_folds)]
-        for b in range(n_eval_batches):
-            sl = slice(b * cfg.batch_size, (b + 1) * cfg.batch_size)
-            if stream_data:
-                pb, sb, lb = assemble(eval_idx[:, sl])
-                batch_losses = np.asarray(eval_step(stacked, pb, sb, lb))
-            else:
-                batch_losses = np.asarray(
-                    eval_step(stacked, projs_all, segs_all, lands_all, jnp.asarray(eval_idx[:, sl]))
-                )
-            for k in range(k_folds):
-                m = eval_mask[k, sl]
-                per_fold_losses[k].extend(batch_losses[k][m])
-
-        avg_valid = np.array([float(np.mean(l)) for l in per_fold_losses])
-        std_valid = np.array(
-            [float(np.std(l, ddof=1)) if len(l) > 1 else 0.0 for l in per_fold_losses]
-        )
-        if valid_loss_out is not None:
-            for k in range(k_folds):
-                valid_loss_out[k].write(float(avg_valid[k]))
-
-        # true epoch means, like loop.fit and the reference (train.py:445) —
-        # the last step's vector alone is a noisy single-batch value
-        avg_train = epoch_loss_sum / max(1, epoch_loss_n)
-        log("  Avg. Training Losses: {}".format(np.round(avg_train, 6)))
-        for k in range(k_folds):
-            log(
-                "  fold {} (spec {:02d}) valid: {:.6f} +/- {:.6f}".format(
-                    k, pats[k], avg_valid[k], std_valid[k]
-                )
-            )
-
-        for k, sc in enumerate(scheds):
-            if sc is None:
-                continue
-            if lrs_plateau:
-                sc.step(float(avg_valid[k]))
-            else:
-                sc.step()
-        # cos restarts are config-deterministic, so all folds restart together
-        if lrs_is_cos and scheds[0] is not None and scheds[0].just_restarted:
-            log("  Next epoch is warm restart...")
-            num_restarts += 1
-
-        epoch += 1
-
-        new_best = []
-        for k in range(k_folds):
-            if best_valid[k] is None or avg_valid[k] < best_valid[k]:
-                best_valid[k] = float(avg_valid[k])
-                new_best.append(k)
-
-        saved_ck_this_epoch = False
-        if (epoch % cfg.checkpoint_freq) == 0:
-            log("  Saving fold checkpoints")
-            for k in range(k_folds):
-                save_fold(k, ck_paths[k])
-            saved_ck_this_epoch = True
-
-        if cfg.save_best_valid and new_best:
-            log(
-                "  Saving best validation for folds {} (losses {})".format(
-                    new_best, [round(best_valid[k], 6) for k in new_best]
-                )
-            )
-            for k in new_best:
-                if saved_ck_this_epoch and not cfg.light_best_nets:
-                    # same state already being written as this fold's
-                    # checkpoint — copy it instead of re-fetching (ordered
-                    # behind the save; reference train.py:523-531)
-                    checkpointers[k].copy(ck_paths[k], best_paths[k])
+            for s in range(steps_per_epoch):
+                if scheds[0] is not None:
+                    lr_vec = np.asarray([sc.get_lr() for sc in scheds], np.float32)
                 else:
-                    save_fold(k, best_paths[k], light=cfg.light_best_nets)
+                    lr_vec = np.full((k_folds,), cfg.init_lr, np.float32)
 
-        if (
-            lrs_is_cos
-            and scheds[0] is not None
-            and scheds[0].just_restarted
-            and cfg.save_restart_net_prefix
-            and num_restarts >= cfg.save_after_n_restarts
-        ):
-            # pre-restart snapshot of every fold (reference train.py:533-542
-            # saves <prefix>_XX.pt before each warm restart; cos restarts are
-            # config-deterministic so all folds restart together)
-            for k in range(k_folds):
-                restart_path = "{}_spec{:02d}_{:02d}.pt".format(
-                    cfg.save_restart_net_prefix, pats[k], num_restarts - 1
-                )
-                if k == 0:
-                    log(
-                        "  Saving networks before restart {} to {}_specXX_{:02d}.pt".format(
-                            num_restarts, cfg.save_restart_net_prefix, num_restarts - 1
-                        )
+                if stream_data:
+                    projs_b, segs_b, lands_b, seeds_j = next(batch_iter)
+                    stacked, losses = fused_step(
+                        stacked, projs_b, segs_b, lands_b, seeds_j, jnp.asarray(lr_vec)
                     )
-                if saved_ck_this_epoch and not cfg.light_best_nets:
-                    checkpointers[k].copy(ck_paths[k], restart_path)
                 else:
-                    save_fold(k, restart_path, light=cfg.light_best_nets)
+                    idx = np.stack([st.take(cfg.batch_size) for st in streams])
+                    base = (epoch * steps_per_epoch + s) * k_folds
+                    seeds = base + np.arange(k_folds, dtype=np.int32)
+                    stacked, losses = fused_step(
+                        stacked, projs_all, segs_all, lands_all,
+                        jnp.asarray(idx), jnp.asarray(seeds), jnp.asarray(lr_vec),
+                    )
+                pending.append(losses)
 
-        this_epoch_hours = (time.time() - epoch_start) / 3600.0
-        log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
-        tot_time_hours += this_epoch_hours
-        epochs_this_session += 1
-        avg_epoch_time_hours = tot_time_hours / epochs_this_session
+                if lrs_is_cos and scheds[0] is not None:
+                    frac = (s + 1) / steps_per_epoch
+                    for sc in scheds:
+                        sc.intra_epoch_step(frac)
 
-        if stop_requested["flag"]:
-            keep_training = False
-            log("  Exiting - termination requested!")
-        if enforce_max_hours and (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
-            log("  Exiting - did not expect to complete next epoch within time limit!")
-            keep_training = False
-        if enforce_max_num_restarts:
-            if num_restarts >= cfg.max_num_restarts:
-                keep_training = False
-                log("  Exiting - maximum number of restarts performed!")
-        elif epoch >= cfg.max_num_epochs:
-            keep_training = False
-            log("  Exiting - maximum number of epochs performed!")
+                if len(pending) >= max(1, steps_per_epoch // 4):
+                    drain()
 
-        if not keep_training and not saved_ck_this_epoch:
-            log("    saving fold checkpoints before exit!")
+            drain()
+
+            log("  Running validation")
+            per_fold_losses = [[] for _ in range(k_folds)]
+            for b in range(n_eval_batches):
+                sl = slice(b * cfg.batch_size, (b + 1) * cfg.batch_size)
+                if stream_data:
+                    pb, sb, lb = assemble(eval_idx[:, sl])
+                    batch_losses = np.asarray(eval_step(stacked, pb, sb, lb))
+                else:
+                    batch_losses = np.asarray(
+                        eval_step(stacked, projs_all, segs_all, lands_all, jnp.asarray(eval_idx[:, sl]))
+                    )
+                for k in range(k_folds):
+                    m = eval_mask[k, sl]
+                    per_fold_losses[k].extend(batch_losses[k][m])
+
+            avg_valid = np.array([float(np.mean(l)) for l in per_fold_losses])
+            std_valid = np.array(
+                [float(np.std(l, ddof=1)) if len(l) > 1 else 0.0 for l in per_fold_losses]
+            )
+            if valid_loss_out is not None:
+                for k in range(k_folds):
+                    valid_loss_out[k].write(float(avg_valid[k]))
+
+            # true epoch means, like loop.fit and the reference (train.py:445) —
+            # the last step's vector alone is a noisy single-batch value
+            avg_train = epoch_loss_sum / max(1, epoch_loss_n)
+            log("  Avg. Training Losses: {}".format(np.round(avg_train, 6)))
             for k in range(k_folds):
-                save_fold(k, ck_paths[k])
+                log(
+                    "  fold {} (spec {:02d}) valid: {:.6f} +/- {:.6f}".format(
+                        k, pats[k], avg_valid[k], std_valid[k]
+                    )
+                )
 
-    log("Training Hours: {:.4f}".format(tot_time_hours))
-    for c in checkpointers:
-        c.wait()
-    for ws in (train_loss_out, valid_loss_out):
-        if ws is not None:
-            for w in ws:
-                w.close()
-    if prev_handler is not None:
-        try:
-            signal.signal(signal.SIGTERM, prev_handler)
-        except ValueError:
-            pass
+            for k, sc in enumerate(scheds):
+                if sc is None:
+                    continue
+                if lrs_plateau:
+                    sc.step(float(avg_valid[k]))
+                else:
+                    sc.step()
+            # cos restarts are config-deterministic, so all folds restart together
+            if lrs_is_cos and scheds[0] is not None and scheds[0].just_restarted:
+                log("  Next epoch is warm restart...")
+                num_restarts += 1
+
+            epoch += 1
+
+            new_best = []
+            for k in range(k_folds):
+                if best_valid[k] is None or avg_valid[k] < best_valid[k]:
+                    best_valid[k] = float(avg_valid[k])
+                    new_best.append(k)
+
+            saved_ck_this_epoch = False
+            if (epoch % cfg.checkpoint_freq) == 0:
+                log("  Saving fold checkpoints")
+                for k in range(k_folds):
+                    save_fold(k, ck_paths[k])
+                saved_ck_this_epoch = True
+
+            if cfg.save_best_valid and new_best:
+                log(
+                    "  Saving best validation for folds {} (losses {})".format(
+                        new_best, [round(best_valid[k], 6) for k in new_best]
+                    )
+                )
+                for k in new_best:
+                    if saved_ck_this_epoch and not cfg.light_best_nets:
+                        # same state already being written as this fold's
+                        # checkpoint — copy it instead of re-fetching (ordered
+                        # behind the save; reference train.py:523-531)
+                        checkpointers[k].copy(ck_paths[k], best_paths[k])
+                    else:
+                        save_fold(k, best_paths[k], light=cfg.light_best_nets)
+
+            if (
+                lrs_is_cos
+                and scheds[0] is not None
+                and scheds[0].just_restarted
+                and cfg.save_restart_net_prefix
+                and num_restarts >= cfg.save_after_n_restarts
+            ):
+                # pre-restart snapshot of every fold (reference train.py:533-542
+                # saves <prefix>_XX.pt before each warm restart; cos restarts are
+                # config-deterministic so all folds restart together)
+                for k in range(k_folds):
+                    restart_path = "{}_spec{:02d}_{:02d}.pt".format(
+                        cfg.save_restart_net_prefix, pats[k], num_restarts - 1
+                    )
+                    if k == 0:
+                        log(
+                            "  Saving networks before restart {} to {}_specXX_{:02d}.pt".format(
+                                num_restarts, cfg.save_restart_net_prefix, num_restarts - 1
+                            )
+                        )
+                    if saved_ck_this_epoch and not cfg.light_best_nets:
+                        checkpointers[k].copy(ck_paths[k], restart_path)
+                    else:
+                        save_fold(k, restart_path, light=cfg.light_best_nets)
+
+            this_epoch_hours = (time.time() - epoch_start) / 3600.0
+            log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
+            tot_time_hours += this_epoch_hours
+            epochs_this_session += 1
+            avg_epoch_time_hours = tot_time_hours / epochs_this_session
+
+            if stop_requested["flag"]:
+                keep_training = False
+                log("  Exiting - termination requested!")
+            if enforce_max_hours and (tot_time_hours + avg_epoch_time_hours) > cfg.max_hours:
+                log("  Exiting - did not expect to complete next epoch within time limit!")
+                keep_training = False
+            if enforce_max_num_restarts:
+                if num_restarts >= cfg.max_num_restarts:
+                    keep_training = False
+                    log("  Exiting - maximum number of restarts performed!")
+            elif epoch >= cfg.max_num_epochs:
+                keep_training = False
+                log("  Exiting - maximum number of epochs performed!")
+
+            if not keep_training and not saved_ck_this_epoch:
+                log("    saving fold checkpoints before exit!")
+                for k in range(k_folds):
+                    save_fold(k, ck_paths[k])
+
+        log("Training Hours: {:.4f}".format(tot_time_hours))
+        completed = True
+    finally:
+        # teardown runs on EVERY exit (an exception mid-epoch must not
+        # leak the installed SIGTERM handler or abandon in-flight async
+        # checkpoint writes); on the exceptional path a checkpointer
+        # error must not mask the original exception
+        for c in checkpointers:
+            try:
+                c.wait()
+            except Exception:
+                if completed:
+                    raise
+        for ws in (train_loss_out, valid_loss_out):
+            if ws is not None:
+                for w in ws:
+                    w.close()
+        if prev_handler is not None:
+            try:
+                signal.signal(signal.SIGTERM, prev_handler)
+            except ValueError:
+                pass
 
     return {
         "model": model,

@@ -84,6 +84,15 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.inject_hyperparams(make)(learning_rate=cfg.init_lr)
 
 
+@partial(jax.jit, static_argnames=("model",))
+def _jitted_init(model, rng_key, dummy):
+    # JIT the init: an eager depth-6 init dispatches hundreds of tiny ops
+    # (minutes over remote-device tunnels — CLAUDE.md); linen Modules are
+    # frozen dataclasses, so jit caches per model CONFIG and repeated inits
+    # (e.g. the K folds of make_multifold_state) compile once
+    return model.init(rng_key, dummy, train=False)
+
+
 def make_train_state(cfg: TrainConfig, rng_key, sample_shape) -> tuple[Any, TrainState]:
     """Initialize model variables and optimizer state.
 
@@ -91,7 +100,7 @@ def make_train_state(cfg: TrainConfig, rng_key, sample_shape) -> tuple[Any, Trai
     """
     model = build_model(cfg)
     dummy = jnp.zeros((1, sample_shape[0], sample_shape[1], 1), jnp.float32)
-    variables = model.init(rng_key, dummy, train=False)
+    variables = _jitted_init(model, rng_key, dummy)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg)
