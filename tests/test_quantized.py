@@ -1,0 +1,196 @@
+"""Tests for the int8 post-training-quantized inference path
+(infer/quantized.py).
+
+Strategy:
+- the float replay of the traversal must match ``model.apply`` exactly —
+  this pins the mirrored graph structure to the Flax module for every
+  architectural flag;
+- an exact-arithmetic fixture (one-hot +-1 kernels, integer activations,
+  unit scales) makes symmetric int8 quantization lossless, so the whole
+  int8 plumbing (weight quant, activation quant, s8xs8->s32 convs,
+  dequant) must reproduce the float forward bit-for-bit;
+- a statistical fixture (random weights, calibrated scales) bounds the
+  quantization noise on realistic values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfluoro_tpu.infer.quantized import (
+    calibrate,
+    calibration_stats,
+    float_apply,
+    quantize_weight,
+    quantize_weights,
+    quantized_apply,
+)
+from deepfluoro_tpu.models.unet import UNet
+
+
+def _init(model, shape, seed=0):
+    x = jnp.asarray(np.random.default_rng(seed).random(shape), jnp.float32)
+    variables = jax.jit(lambda k, xx: model.init(k, xx, train=False))(
+        jax.random.PRNGKey(seed), x
+    )
+    return variables, x
+
+
+CONFIGS = [
+    # paper-style: padding, BN, learned downsample, lands head
+    dict(n_classes=4, depth=3, wf=2, padding=True, batch_norm=True,
+         max_pool=False, num_lands=3),
+    # upsample decoder
+    dict(n_classes=3, depth=2, wf=2, padding=True, batch_norm=False,
+         up_mode="upsample", num_lands=2),
+    # circular padding
+    dict(n_classes=3, depth=2, wf=2, padding=True, pad_mode="circular",
+         batch_norm=True, num_lands=0),
+    # VALID convs, no residual, max pool, lands conv stack, raw logits
+    dict(n_classes=3, depth=2, wf=2, padding=False, do_res=False,
+         max_pool=True, num_lands=2, lands_block_depth=1,
+         lands_num_1x1=1, do_soft_max=False),
+]
+
+
+@pytest.mark.parametrize("kw", CONFIGS, ids=["paper", "upsample", "circ", "valid"])
+def test_float_replay_matches_flax(kw):
+    model = UNet(**kw)
+    dim = 48 if not kw.get("padding", False) else 32
+    variables, x = _init(model, (2, dim, dim, 1))
+    want = model.apply(variables, x, train=False)
+    got = float_apply(model, variables, x)
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=0, atol=0)
+
+
+def _selector_kernel(shape, rng):
+    """A kernel with exactly one +-1 tap per output channel: conv output =
+    (+-) one input element, so integer activations never grow."""
+    kh, kw, ci, co = shape
+    k = np.zeros(shape, np.float32)
+    for o in range(co):
+        k[rng.integers(kh), rng.integers(kw), o % ci, o] = rng.choice([-1.0, 1.0])
+    return jnp.asarray(k)
+
+
+@pytest.mark.parametrize("pad_mode", ["zeros", "circular"])
+def test_int8_exact_on_selector_network(pad_mode):
+    """With one-hot +-1 kernels, zero biases, integer inputs and unit
+    activation scales, int8 quantization is exact through every layer:
+    activations re-snap to integers at each quantization point, so the
+    only float artifact left in the outputs is the final dequantization's
+    127*fl(1/127) factor (~1 ulp)."""
+    model = UNet(
+        n_classes=3, depth=3, wf=1, padding=True, pad_mode=pad_mode,
+        batch_norm=False, max_pool=False, num_lands=2, do_soft_max=False,
+    )
+    variables, _ = _init(model, (1, 16, 16, 1))
+    rng = np.random.default_rng(3)
+
+    def rewrite(tree):
+        out = {}
+        for name, sub in tree.items():
+            if isinstance(sub, dict):
+                out[name] = rewrite(sub)
+            elif name == "kernel":
+                out[name] = _selector_kernel(sub.shape, rng)
+            else:  # bias
+                out[name] = jnp.zeros_like(sub)
+        return out
+
+    variables = {"params": rewrite(jax.tree.map(np.asarray, variables["params"]))}
+
+    x = jnp.asarray(
+        rng.integers(-7, 8, (2, 16, 16, 1)).astype(np.float32)
+    )
+    want_seg, want_heats = float_apply(model, variables, x)
+
+    _, stats = calibration_stats(model, variables, x)
+    scales = {k: jnp.float32(1.0) for k in stats}
+    qweights = quantize_weights(model, variables)
+    got_seg, got_heats = quantized_apply(model, qweights, variables, scales, x)
+
+    np.testing.assert_allclose(
+        np.asarray(got_seg), np.asarray(want_seg), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_heats), np.asarray(want_heats), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("up_mode", ["upconv", "upsample"])
+def test_quantized_close_on_random_network(up_mode):
+    """Calibrated int8 inference stays close to float on a random model:
+    the quantization noise through a depth-3 net must not disturb relative
+    outputs beyond a few percent."""
+    model = UNet(
+        n_classes=4, depth=3, wf=3, padding=True, batch_norm=True,
+        max_pool=False, num_lands=3, up_mode=up_mode,
+    )
+    variables, x = _init(model, (2, 32, 32, 1), seed=1)
+
+    scales = calibrate(model, variables, [x])
+    qweights = quantize_weights(model, variables)
+    want_seg, want_heats = float_apply(model, variables, x)
+    got_seg, got_heats = quantized_apply(model, qweights, variables, scales, x)
+
+    def rel_err(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+    assert rel_err(got_seg, want_seg) < 0.05, rel_err(got_seg, want_seg)
+    assert rel_err(got_heats, want_heats) < 0.10, rel_err(got_heats, want_heats)
+    # argmax label agreement: the decisions, not just the values. A
+    # random-INIT net's class logits are near-tied everywhere, so a few
+    # percent of flips is expected noise here (trained-model agreement is
+    # the real quality gate — measured on the synthetic archive, see
+    # BASELINE.md's int8 row); this bound just catches gross breakage.
+    agree = np.mean(
+        np.argmax(np.asarray(got_seg), -1) == np.argmax(np.asarray(want_seg), -1)
+    )
+    assert agree > 0.9, agree
+
+
+def test_quantize_weights_covers_every_conv():
+    model = UNet(
+        n_classes=3, depth=3, wf=2, padding=True, batch_norm=True,
+        max_pool=False, num_lands=2,
+    )
+    variables, _ = _init(model, (1, 16, 16, 1))
+    qweights = quantize_weights(model, variables)
+    kernels = [
+        "/".join(map(str, p))
+        for p, leaf in jax.tree_util.tree_flatten_with_path(
+            variables["params"]
+        )[0] if "kernel" in str(p)
+    ]
+    n_kernels = sum(
+        1 for p in jax.tree_util.tree_leaves_with_path(variables["params"])
+        if "kernel" in str(p[0])
+    )
+    assert len(qweights) == n_kernels, (sorted(qweights), kernels)
+    for kq, ws in qweights.values():
+        assert kq.dtype == jnp.int8
+        assert ws.shape == (kq.shape[-1],)
+
+
+def test_quantize_weight_per_channel_roundtrip():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(0, [[0.1, 3.0]], (4, 2)).reshape(1, 1, 4, 2))
+    kq, scale = quantize_weight(k)
+    # each channel uses its own scale: dequant error bounded by scale/2
+    err = np.abs(np.asarray(kq, np.float32) * np.asarray(scale) - np.asarray(k))
+    assert (err <= np.asarray(scale) / 2 + 1e-7).all()
+    # and the big channel's scale did not bleed into the small one
+    assert scale[0] < scale[1] / 5
+
+
+def test_calibrate_aggregates_max_over_batches():
+    model = UNet(n_classes=2, depth=2, wf=1, padding=True, num_lands=0)
+    variables, x = _init(model, (1, 16, 16, 1))
+    s1 = calibrate(model, variables, [x])
+    s2 = calibrate(model, variables, [x, 3.0 * x])
+    assert set(s1) == set(s2)
+    assert float(s2["down_0/x0"]) >= float(s1["down_0/x0"]) * 2.9
