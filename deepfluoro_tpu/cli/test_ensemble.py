@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ensemble-devices", help="shard the ensemble members over this many devices (must divide the number of --nets); 0 = off", type=int, default=0)
     parser.add_argument("--dp-devices", help="also shard each inference batch over this many devices (must divide --batch-size); composes with --ensemble-devices on one mesh", type=int, default=0)
     parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
+    parser.add_argument("--int8", help="post-training int8 quantized inference: every conv runs s8 x s8 -> s32 on the MXU with activation scales calibrated on the first batches of the input data (framework extension; the reference infers in float32)", action="store_true")
+    parser.add_argument("--int8-calib-batches", help="number of leading input batches used to calibrate the int8 activation scales", type=int, default=4)
     return parser
 
 
@@ -54,6 +56,10 @@ def main(argv=None):
     assert len(test_pats) > 0
 
     mesh = None
+    if args.int8 and (args.ensemble_devices > 0 or args.dp_devices > 0):
+        raise ValueError(
+            "--int8 does not compose with --ensemble-devices/--dp-devices"
+        )
     if args.ensemble_devices > 0 or args.dp_devices > 0:
         import jax
 
@@ -116,6 +122,8 @@ def main(argv=None):
                 pad_img_dim=cfg.proj_unet_dim,
                 num_classes=cfg.num_classes,
                 mesh=mesh,
+                quantized=args.int8,
+                calib_batches=args.int8_calib_batches,
             )
         print("closing file...")
         f.flush()

@@ -173,6 +173,26 @@ def map_over_nets(one_net, stacked_vars):
     return jax.lax.map(one_net, stacked_vars)
 
 
+def postprocess_net_output(out, orig_hw, num_lands):
+    """Crop one member's raw forward output back to the original resolution
+    and (when the landmark head exists) min-max normalize its heatmaps per
+    image over all channels — the reference's per-net normalization
+    (util.py:345-356). Shared by the float path below and the int8 path
+    (infer/quantized.py::make_quantized_ensemble_forward) so the ensemble
+    semantics cannot drift between them."""
+    if num_lands > 0:
+        seg, heats = out
+    else:
+        seg, heats = out, None
+    seg = center_crop(seg, orig_hw)
+    if heats is not None:
+        heats = center_crop(heats, orig_hw)
+        hmin = jnp.min(heats, axis=(1, 2, 3), keepdims=True)
+        hmax = jnp.max(heats, axis=(1, 2, 3), keepdims=True)
+        heats = (heats - hmin) / (hmax - hmin)
+    return seg, heats
+
+
 def make_one_net_fn(model, orig_hw, num_lands):
     """The single-member forward of the ensemble program: apply, crop to the
     original resolution, and (when the landmark head exists) min-max
@@ -184,17 +204,7 @@ def make_one_net_fn(model, orig_hw, num_lands):
 
     def one_net(variables, proj):
         out = model.apply(variables, proj, train=False)
-        if num_lands > 0:
-            seg, heats = out
-        else:
-            seg, heats = out, None
-        seg = center_crop(seg, orig_hw)
-        if heats is not None:
-            heats = center_crop(heats, orig_hw)
-            hmin = jnp.min(heats, axis=(1, 2, 3), keepdims=True)
-            hmax = jnp.max(heats, axis=(1, 2, 3), keepdims=True)
-            heats = (heats - hmin) / (hmax - hmin)
-        return seg, heats
+        return postprocess_net_output(out, orig_hw, num_lands)
 
     return one_net
 
@@ -241,12 +251,21 @@ def seg_dataset_ensemble(
     pad_img_dim: int = 0,
     num_classes: int = 7,
     mesh=None,
+    quantized: bool = False,
+    calib_batches: int = 4,
 ):
     """Run the ensemble over a dataset and write ``nn-segs`` / ``nn-heats``
     (reference util.py:293-377; file contract incl. dtype/chunks/gzip-9).
 
     models_and_vars: list of (model, variables) from load_net_from_checkpoint;
     all architectures must match (they do in the documented workflow).
+
+    ``quantized`` (cli/test_ensemble --int8) swaps in the post-training int8
+    path (infer/quantized.py): every conv runs s8 x s8 -> s32 on the MXU,
+    with per-tensor activation scales calibrated on the first
+    ``calib_batches`` batches of THIS dataset (no reference counterpart —
+    the reference infers in float32, util.py:321-366). Does not compose
+    with ``mesh``.
 
     ``mesh`` (a jax.sharding.Mesh with an 'ensemble' axis, optionally times
     a 'data' axis — cli/test_ensemble --ensemble-devices/--dp-devices)
@@ -281,11 +300,35 @@ def seg_dataset_ensemble(
         )
 
     model = models_and_vars[0][0]
-    stacked = stack_variables([v for _, v in models_and_vars])
+    aug_cfg = AugmentConfig(
+        num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,
+        include_heat_map=False,
+    )
+    key = jax.random.PRNGKey(0)
+
     pad_batches = False
-    if mesh is None:
+    if quantized:
+        assert mesh is None, "int8 inference does not compose with device meshes"
+        from deepfluoro_tpu.infer.quantized import (
+            make_quantized_ensemble_forward,
+            prepare_quantized_ensemble,
+        )
+
+        prep = jax.jit(lambda p: prepare_batch(aug_cfg, key, p)["proj"])
+        calib = []
+        for projs, _, _ in BatchIterator(
+            data, batch_size=batch_size, shuffle=False, device_resident=True
+        ).epoch():
+            calib.append(prep(projs))
+            if len(calib) >= calib_batches:
+                break
+        stacked = prepare_quantized_ensemble(models_and_vars, calib)
+        fwd = make_quantized_ensemble_forward(model, num_lands, orig_hw)
+    elif mesh is None:
+        stacked = stack_variables([v for _, v in models_and_vars])
         fwd = make_ensemble_forward(model, num_lands, orig_hw)
     else:
+        stacked = stack_variables([v for _, v in models_and_vars])
         from deepfluoro_tpu.parallel.sharding import make_sharded_ensemble_forward
 
         k = len(models_and_vars)
@@ -308,13 +351,7 @@ def seg_dataset_ensemble(
         # trimming the outputs
         pad_batches = True
 
-    aug_cfg = AugmentConfig(
-        num_classes=num_classes, proj_pad_dim=pad_img_dim, prob_of_aug=0.0,
-        include_heat_map=False,
-    )
-
     it = BatchIterator(data, batch_size=batch_size, shuffle=False, device_resident=True)
-    key = jax.random.PRNGKey(0)
 
     # warm-up: compile the prepare+forward programs before timing, so the
     # --times file reports steady-state per-image latency (the reference's

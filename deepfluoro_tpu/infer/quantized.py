@@ -365,3 +365,43 @@ def quantized_apply(model, qweights, variables, scales, x):
     return _Engine(
         model, variables, "quantized", scales=scales, qweights=qweights
     ).forward(x)
+
+
+def prepare_quantized_ensemble(models_and_vars, calib_inputs):
+    """Calibrate and weight-quantize every ensemble member.
+
+    ``calib_inputs``: prepared (B, H, W, 1) tensors (z-normed, padded —
+    exactly what the float ensemble forward consumes). Returns the
+    ``qargs`` pytree for :func:`make_quantized_ensemble_forward`: a tuple
+    of per-net (variables, qweights, scales)."""
+    qargs = []
+    for model, variables in models_and_vars:
+        scales = calibrate(model, variables, calib_inputs)
+        qargs.append((variables, quantize_weights(model, variables), scales))
+    return tuple(qargs)
+
+
+def make_quantized_ensemble_forward(model, num_lands, orig_hw):
+    """Jitted ``fwd(qargs, proj) -> (avg_seg, avg_heats|None, labels)`` —
+    the int8 analogue of infer/ensemble.py::make_ensemble_forward with
+    identical averaging semantics (per-net crop + per-image heatmap min-max
+    before the mean — reference util.py:345-356 — and the argmax epilogue),
+    so cli/test_ensemble swaps it in behind ``--int8``. All members share
+    ``model``'s architecture (the CLI enforces this at load time); the net
+    axis is unrolled like the float path's map_over_nets."""
+    from deepfluoro_tpu.infer.ensemble import postprocess_net_output
+
+    @jax.jit
+    def fwd(qargs, proj):
+        segs, heats = [], []
+        for variables, qweights, scales in qargs:
+            out = quantized_apply(model, qweights, variables, scales, proj)
+            s, h = postprocess_net_output(out, orig_hw, num_lands)
+            segs.append(s)
+            heats.append(h)
+        avg_seg = jnp.mean(jnp.stack(segs), axis=0)
+        avg_heats = jnp.mean(jnp.stack(heats), axis=0) if num_lands > 0 else None
+        labels = jnp.argmax(avg_seg, axis=-1).astype(jnp.uint8)
+        return avg_seg, avg_heats, labels
+
+    return fwd

@@ -194,3 +194,102 @@ def test_calibrate_aggregates_max_over_batches():
     s2 = calibrate(model, variables, [x, 3.0 * x])
     assert set(s1) == set(s2)
     assert float(s2["down_0/x0"]) >= float(s1["down_0/x0"]) * 2.9
+
+
+# ---------------------------------------------------------------------------
+# the --int8 inference surface (cli/test_ensemble + seg_dataset_ensemble)
+
+
+class TestInt8EnsembleSurface:
+    def _checkpoints(self, tmp_path, cfg, k):
+        from deepfluoro_tpu.train import make_train_state
+        from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+        paths = []
+        for i in range(k):
+            _, state = make_train_state(cfg, jax.random.PRNGKey(i), (36, 36))
+            p = str(tmp_path / "net{}.pt".format(i))
+            save_checkpoint(
+                p, meta=cfg.to_checkpoint_meta(), epoch=1, best_valid_loss=-0.5,
+                params=state.params, batch_stats=state.batch_stats,
+            )
+            paths.append(p)
+        return paths
+
+    def test_cli_int8_matches_library_and_tracks_float(self, tmp_path):
+        """`--int8` must produce exactly the library-level quantized run
+        (pins the CLI plumbing: calibration protocol, scale/weight reuse,
+        output contract), and its heatmaps must track the float run closely
+        (the quantization-noise bound; argmax agreement on a random-init
+        net is inherently loose, see test_quantized_close_on_random_network)."""
+        import h5py as h5
+
+        from deepfluoro_tpu.cli import test_ensemble as te_cli
+        from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+        from deepfluoro_tpu.infer import (
+            load_net_from_checkpoint,
+            seg_dataset_ensemble,
+        )
+        from deepfluoro_tpu.train import TrainConfig
+
+        h5p = write_synthetic_dataset(
+            str(tmp_path / "ds.h5"), num_specimens=1, num_projs=6, img_dim=32
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True,
+            padding=True, no_max_pool=True, num_lands=14, proj_unet_dim=36,
+        )
+        paths = self._checkpoints(tmp_path, cfg, 2)
+
+        out_q = str(tmp_path / "q.h5")
+        te_cli.main([h5p, out_q, "--pats", "1", "--nets", *paths,
+                     "--batch-size", "4", "--no-gpu", "--int8",
+                     "--int8-calib-batches", "1"])
+
+        # library-level quantized run with the same calibration protocol
+        nets = [load_net_from_checkpoint(p, verbose=False) for p in paths]
+        data = load_dataset(h5p, [1], no_seg=True)
+        out_lib = str(tmp_path / "lib.h5")
+        with h5.File(out_lib, "w") as f:
+            seg_dataset_ensemble(
+                data, [(m, v) for m, v, _ in nets], f, num_lands=14,
+                batch_size=4, pad_img_dim=36, quantized=True, calib_batches=1,
+            )
+        out_f = str(tmp_path / "f.h5")
+        with h5.File(out_f, "w") as f:
+            seg_dataset_ensemble(
+                data, [(m, v) for m, v, _ in nets], f, num_lands=14,
+                batch_size=4, pad_img_dim=36,
+            )
+
+        with h5.File(out_q, "r") as fq, h5.File(out_lib, "r") as fl, \
+             h5.File(out_f, "r") as ff:
+            np.testing.assert_array_equal(fq["nn-segs"][:], fl["nn-segs"][:])
+            np.testing.assert_allclose(
+                fq["nn-heats"][:], fl["nn-heats"][:], atol=1e-6
+            )
+            # int8 vs float: min-max-normalized heatmaps stay close
+            np.testing.assert_allclose(
+                fq["nn-heats"][:], ff["nn-heats"][:], atol=0.15
+            )
+            assert fq["nn-segs"].dtype == np.uint8
+            assert fq["nn-segs"].shape == ff["nn-segs"].shape
+
+    def test_cli_int8_rejects_meshes(self, tmp_path):
+        from deepfluoro_tpu.cli import test_ensemble as te_cli
+        from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+        from deepfluoro_tpu.train import TrainConfig
+
+        h5p = write_synthetic_dataset(
+            str(tmp_path / "ds.h5"), num_specimens=1, num_projs=2, img_dim=32
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True,
+            padding=True, no_max_pool=True, num_lands=14, proj_unet_dim=36,
+        )
+        paths = self._checkpoints(tmp_path, cfg, 2)
+        with pytest.raises(ValueError, match="does not compose"):
+            te_cli.main([h5p, str(tmp_path / "o.h5"), "--pats", "1",
+                         "--nets", *paths, "--no-gpu", "--int8",
+                         "--ensemble-devices", "2"])
