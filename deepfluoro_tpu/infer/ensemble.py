@@ -413,6 +413,8 @@ def seg_dataset(
     batch_size: int = 1,
     pad_img_dim: int = 0,
     num_classes: int = 7,
+    quantized: bool = False,
+    calib_batches: int = 4,
 ):
     """Single-network variant (reference util.py:243-291) — an ensemble of
     one; same nn-segs/nn-heats output contract. NOTE: the single-net
@@ -428,6 +430,8 @@ def seg_dataset(
         batch_size=batch_size,
         pad_img_dim=pad_img_dim,
         num_classes=num_classes,
+        quantized=quantized,
+        calib_batches=calib_batches,
     )
 
 

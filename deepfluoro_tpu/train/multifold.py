@@ -87,27 +87,30 @@ def fold_state(stacked_state, k: int):
     return _fold_slice(stacked_state, jnp.int32(k))
 
 
-def _maybe_shard_over_folds(mesh, fn, num_array_args: int):
-    """Wrap the (stacked_state, dataset..., per-fold arrays...) function in a
-    shard_map over the 'ensemble' mesh axis. Folds are fully independent, so
-    each device simply runs its K/n folds' vmapped program — no collectives.
-    (GSPMD alone mispartitions the grouped convs a vmapped ensemble lowers
-    to; see parallel/sharding.py — shard_map sidesteps that.)
+def _shard_over_folds(mesh, fn, in_folded, num_outputs: int):
+    """Wrap a multifold step/eval function in a shard_map over the
+    'ensemble' mesh axis. Folds are fully independent, so each device simply
+    runs its K/n folds' lax.map program — no collectives. (GSPMD alone
+    mispartitions the grouped convs a vmapped ensemble lowers to; see
+    parallel/sharding.py — shard_map sidesteps that.)
 
-    The positional specs assume the (stacked_state, 3 dataset arrays,
-    per-fold arrays) calling convention of both step builders. A None
-    dataset array (archive without lands) is an EMPTY pytree, so its spec
-    maps over zero leaves and the shard_map boundary passes it through —
-    pinned by tests/test_multifold.py::test_sharded_multifold_without_lands."""
+    ``in_folded``: one bool per positional argument — True means the
+    argument carries a leading (K,) fold axis and is sharded over
+    'ensemble'; False means it is replicated (the shared union dataset
+    arrays). A None argument (archive without lands) is an EMPTY pytree, so
+    its spec maps over zero leaves and the shard_map boundary passes it
+    through — pinned by tests/test_multifold.py (the lands-free sharded
+    run). All ``num_outputs`` outputs are fold-sharded."""
     from jax.sharding import PartitionSpec as P
+
     fold_spec = P("ensemble")
-    # stacked_state + 3 dataset arrays (replicated) + per-fold arrays
-    in_specs = (fold_spec, P(), P(), P()) + (fold_spec,) * num_array_args
+    in_specs = tuple(fold_spec if f else P() for f in in_folded)
+    out_specs = (fold_spec,) * num_outputs if num_outputs > 1 else fold_spec
     return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(fold_spec, fold_spec),
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -148,7 +151,10 @@ def make_fused_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None):
         return jax.lax.map(one_fold, (stacked_state, idx, step_seeds, lr_vec))
 
     if mesh is not None:
-        step_impl = _maybe_shard_over_folds(mesh, step_impl, num_array_args=3)
+        # stacked_state + 3 replicated dataset arrays + idx/seeds/lrs per fold
+        step_impl = _shard_over_folds(
+            mesh, step_impl, (True, False, False, False, True, True, True), 2
+        )
     return jax.jit(step_impl, donate_argnums=(0,))
 
 
@@ -173,14 +179,8 @@ def make_multifold_eval_step(cfg: TrainConfig, model, aug_cfg, num_lands_for_los
         return jax.lax.map(one_fold, (stacked_state, idx))
 
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
-        eval_impl = jax.shard_map(
-            eval_impl,
-            mesh=mesh,
-            in_specs=(P("ensemble"), P(), P(), P(), P("ensemble")),
-            out_specs=P("ensemble"),
-            check_vma=False,
+        eval_impl = _shard_over_folds(
+            mesh, eval_impl, (True, False, False, False, True), 1
         )
     return jax.jit(eval_impl)
 
@@ -230,17 +230,9 @@ def make_streaming_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=Non
         return jax.lax.map(one_fold, xs)
 
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
         # every positional arg carries the leading fold axis (streamed
         # batches are per-fold too) — shard them all over 'ensemble'
-        step_impl = jax.shard_map(
-            step_impl,
-            mesh=mesh,
-            in_specs=(P("ensemble"),) * 6,
-            out_specs=(P("ensemble"), P("ensemble")),
-            check_vma=False,
-        )
+        step_impl = _shard_over_folds(mesh, step_impl, (True,) * 6, 2)
     return jax.jit(step_impl, donate_argnums=(0,))
 
 
@@ -267,15 +259,7 @@ def make_streaming_multifold_eval_step(
         return jax.lax.map(one_fold, xs)
 
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
-
-        eval_impl = jax.shard_map(
-            eval_impl,
-            mesh=mesh,
-            in_specs=(P("ensemble"),) * 4,
-            out_specs=P("ensemble"),
-            check_vma=False,
-        )
+        eval_impl = _shard_over_folds(mesh, eval_impl, (True,) * 4, 1)
     return jax.jit(eval_impl)
 
 
@@ -803,10 +787,27 @@ def fit_multifold(
                     new_best.append(k)
 
             saved_ck_this_epoch = False
+            # files already written THIS epoch, reusable as copy sources by a
+            # later same-epoch save of the same kind (full vs light) — the
+            # checkpointer copy is ordered behind the save and avoids
+            # re-fetching params over slow transports (loop.fit's copy
+            # optimization; reference train.py:523-531)
+            full_src: dict[int, str] = {}
+            light_src: dict[int, str] = {}
+
+            def save_or_copy(k, path, light):
+                src_map = light_src if light else full_src
+                if k in src_map:
+                    checkpointers[k].copy(src_map[k], path)
+                else:
+                    save_fold(k, path, light=light)
+                    src_map[k] = path
+
             if (epoch % cfg.checkpoint_freq) == 0:
                 log("  Saving fold checkpoints")
                 for k in range(k_folds):
                     save_fold(k, ck_paths[k])
+                    full_src[k] = ck_paths[k]
                 saved_ck_this_epoch = True
 
             if cfg.save_best_valid and new_best:
@@ -816,13 +817,7 @@ def fit_multifold(
                     )
                 )
                 for k in new_best:
-                    if saved_ck_this_epoch and not cfg.light_best_nets:
-                        # same state already being written as this fold's
-                        # checkpoint — copy it instead of re-fetching (ordered
-                        # behind the save; reference train.py:523-531)
-                        checkpointers[k].copy(ck_paths[k], best_paths[k])
-                    else:
-                        save_fold(k, best_paths[k], light=cfg.light_best_nets)
+                    save_or_copy(k, best_paths[k], cfg.light_best_nets)
 
             if (
                 lrs_is_cos
@@ -844,10 +839,7 @@ def fit_multifold(
                                 num_restarts, cfg.save_restart_net_prefix, num_restarts - 1
                             )
                         )
-                    if saved_ck_this_epoch and not cfg.light_best_nets:
-                        checkpointers[k].copy(ck_paths[k], restart_path)
-                    else:
-                        save_fold(k, restart_path, light=cfg.light_best_nets)
+                    save_or_copy(k, restart_path, cfg.light_best_nets)
 
             this_epoch_hours = (time.time() - epoch_start) / 3600.0
             log("  This epoch took {:.4f} hours!".format(this_epoch_hours))
@@ -872,7 +864,7 @@ def fit_multifold(
             if not keep_training and not saved_ck_this_epoch:
                 log("    saving fold checkpoints before exit!")
                 for k in range(k_folds):
-                    save_fold(k, ck_paths[k])
+                    save_or_copy(k, ck_paths[k], light=False)
 
         log("Training Hours: {:.4f}".format(tot_time_hours))
         completed = True
