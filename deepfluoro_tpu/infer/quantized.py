@@ -322,12 +322,14 @@ def calibration_stats(model, variables, x):
     return out, eng.stats
 
 
-def calibrate(model, variables, batches):
+def calibrate(model, variables, batches, stats_fn=None):
     """Run the float model over calibration batches, returning the static
     per-tensor activation scales {point: float32 scale}. ``batches`` is an
     iterable of prepared (B, H, W, 1) inputs (z-normed, padded — the same
-    tensors the float model consumes)."""
-    fwd = jax.jit(lambda v, x: calibration_stats(model, v, x)[1])
+    tensors the float model consumes). ``stats_fn`` optionally supplies a
+    pre-jitted (variables, x) -> stats function so ensemble calibration
+    compiles the program once, not once per member."""
+    fwd = stats_fn or jax.jit(lambda v, x: calibration_stats(model, v, x)[1])
     agg: dict[str, Any] = {}
     for x in batches:
         stats = fwd(variables, x)
@@ -373,11 +375,15 @@ def prepare_quantized_ensemble(models_and_vars, calib_inputs):
     ``calib_inputs``: prepared (B, H, W, 1) tensors (z-normed, padded —
     exactly what the float ensemble forward consumes). Returns the
     ``qargs`` pytree for :func:`make_quantized_ensemble_forward`: a tuple
-    of per-net (variables, qweights, scales)."""
+    of per-net (variables, qweights, scales). All members must share one
+    architecture (cli/test_ensemble enforces this at load time), so the
+    jitted calibration program is built once and reused across members."""
+    model = models_and_vars[0][0]
+    stats_fn = jax.jit(lambda v, x: calibration_stats(model, v, x)[1])
     qargs = []
-    for model, variables in models_and_vars:
-        scales = calibrate(model, variables, calib_inputs)
-        qargs.append((variables, quantize_weights(model, variables), scales))
+    for m, variables in models_and_vars:
+        scales = calibrate(m, variables, calib_inputs, stats_fn=stats_fn)
+        qargs.append((variables, quantize_weights(m, variables), scales))
     return tuple(qargs)
 
 
