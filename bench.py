@@ -38,6 +38,17 @@ TORCH_BATCH = 32
 N_CLASSES = 7
 N_LANDS = 14
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+# Pinned FLOOR for the torch-CPU denominator (frames/sec). Provenance: the
+# identical-architecture torch forward measured 2.1-3.0 f/s across rounds 1-3
+# on this 1-CPU host under idle conditions (BASELINE.md "Same pipeline,
+# PyTorch-CPU f32" row; round-2 median 2.78). Degraded sessions (loaded host /
+# 8x-worse tunnel RTT) measured as low as 1.10 f/s — publishing a multiplier
+# off such a session silently inflated vs_baseline 2.5x in round 3. The
+# denominator is the best the competitor has demonstrated, so every fresh or
+# cached measurement is clamped UP to this floor: vs_baseline is a LOWER
+# bound, and a slow-session measure can only make it smaller, never larger.
+# Re-pin only from a back-to-back median-of-10 on an idle host.
+TORCH_BASELINE_FLOOR_FPS = 3.0
 
 
 def bench_jax() -> float:
@@ -192,19 +203,24 @@ def bench_torch_cpu() -> float:
 
 
 def get_torch_baseline() -> float:
+    """The torch-CPU denominator: cached (or freshly measured) frames/sec,
+    clamped up to TORCH_BASELINE_FLOOR_FPS so one slow-session measurement
+    can never inflate the published multiplier (see the floor's note)."""
     config = "depth6 wf5 192x192 f32 batch{} median10".format(TORCH_BATCH)
+    fps = None
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
         if cached.get("config") == config:
-            return float(cached["torch_cpu_frames_per_sec"])
-    fps = bench_torch_cpu()
-    try:
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"torch_cpu_frames_per_sec": fps, "config": config}, f)
-    except OSError:
-        pass
-    return fps
+            fps = float(cached["torch_cpu_frames_per_sec"])
+    if fps is None:
+        fps = bench_torch_cpu()
+        try:
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"torch_cpu_frames_per_sec": fps, "config": config}, f)
+        except OSError:
+            pass
+    return max(fps, TORCH_BASELINE_FLOOR_FPS)
 
 
 def main():

@@ -56,10 +56,6 @@ def main(argv=None):
     assert len(test_pats) > 0
 
     mesh = None
-    if args.int8 and (args.ensemble_devices > 0 or args.dp_devices > 0):
-        raise ValueError(
-            "--int8 does not compose with --ensemble-devices/--dp-devices"
-        )
     if args.ensemble_devices > 0 or args.dp_devices > 0:
         import jax
 

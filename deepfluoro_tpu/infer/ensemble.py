@@ -264,8 +264,9 @@ def seg_dataset_ensemble(
     path (infer/quantized.py): every conv runs s8 x s8 -> s32 on the MXU,
     with per-tensor activation scales calibrated on the first
     ``calib_batches`` batches of THIS dataset (no reference counterpart —
-    the reference infers in float32, util.py:321-366). Does not compose
-    with ``mesh``.
+    the reference infers in float32, util.py:321-366). Composes with
+    ``mesh``: the stacked int8 member tree shards over 'ensemble' exactly
+    like the float parameters (make_sharded_quantized_ensemble_forward).
 
     ``mesh`` (a jax.sharding.Mesh with an 'ensemble' axis, optionally times
     a 'data' axis — cli/test_ensemble --ensemble-devices/--dp-devices)
@@ -306,31 +307,13 @@ def seg_dataset_ensemble(
     )
     key = jax.random.PRNGKey(0)
 
+    # ONE device-resident iterator serves calibration AND the main loop, so
+    # the archive uploads to the device once (calibration takes a partial
+    # first epoch; .epoch() restarts cleanly for the inference pass)
+    it = BatchIterator(data, batch_size=batch_size, shuffle=False, device_resident=True)
+
     pad_batches = False
-    if quantized:
-        assert mesh is None, "int8 inference does not compose with device meshes"
-        from deepfluoro_tpu.infer.quantized import (
-            make_quantized_ensemble_forward,
-            prepare_quantized_ensemble,
-        )
-
-        prep = jax.jit(lambda p: prepare_batch(aug_cfg, key, p)["proj"])
-        calib = []
-        for projs, _, _ in BatchIterator(
-            data, batch_size=batch_size, shuffle=False, device_resident=True
-        ).epoch():
-            calib.append(prep(projs))
-            if len(calib) >= calib_batches:
-                break
-        stacked = prepare_quantized_ensemble(models_and_vars, calib)
-        fwd = make_quantized_ensemble_forward(model, num_lands, orig_hw)
-    elif mesh is None:
-        stacked = stack_variables([v for _, v in models_and_vars])
-        fwd = make_ensemble_forward(model, num_lands, orig_hw)
-    else:
-        stacked = stack_variables([v for _, v in models_and_vars])
-        from deepfluoro_tpu.parallel.sharding import make_sharded_ensemble_forward
-
+    if mesh is not None:
         k = len(models_and_vars)
         ens_size = int(mesh.shape["ensemble"])
         assert k % ens_size == 0, (
@@ -342,16 +325,55 @@ def seg_dataset_ensemble(
             "batch size {} does not shard evenly over the {}-way 'data' "
             "mesh axis".format(batch_size, data_size)
         )
-        fwd, place_stacked = make_sharded_ensemble_forward(
-            model, num_lands, orig_hw, mesh
-        )
-        stacked = place_stacked(stacked)
         # shard_map partitions the batch axis strictly evenly: keep ONE
         # program specialization by padding every batch to batch_size and
         # trimming the outputs
         pad_batches = True
 
-    it = BatchIterator(data, batch_size=batch_size, shuffle=False, device_resident=True)
+    if quantized:
+        from deepfluoro_tpu.infer.quantized import (
+            make_quantized_ensemble_forward,
+            prepare_quantized_ensemble,
+        )
+
+        if calib_batches < 1:
+            raise ValueError(
+                "--int8 needs at least one calibration batch "
+                "(got --int8-calib-batches {})".format(calib_batches)
+            )
+        prep = jax.jit(lambda p: prepare_batch(aug_cfg, key, p)["proj"])
+        calib = []
+        for projs, _, _ in it.epoch():
+            calib.append(prep(projs))
+            if len(calib) >= calib_batches:
+                break
+        if not calib:
+            raise ValueError(
+                "cannot calibrate int8 activation scales on an empty dataset"
+            )
+        stacked = prepare_quantized_ensemble(models_and_vars, calib)
+        if mesh is None:
+            fwd = make_quantized_ensemble_forward(model, num_lands, orig_hw)
+        else:
+            from deepfluoro_tpu.parallel.sharding import (
+                make_sharded_quantized_ensemble_forward,
+            )
+
+            fwd, place_stacked = make_sharded_quantized_ensemble_forward(
+                model, num_lands, orig_hw, mesh
+            )
+            stacked = place_stacked(stacked)
+    elif mesh is None:
+        stacked = stack_variables([v for _, v in models_and_vars])
+        fwd = make_ensemble_forward(model, num_lands, orig_hw)
+    else:
+        stacked = stack_variables([v for _, v in models_and_vars])
+        from deepfluoro_tpu.parallel.sharding import make_sharded_ensemble_forward
+
+        fwd, place_stacked = make_sharded_ensemble_forward(
+            model, num_lands, orig_hw, mesh
+        )
+        stacked = place_stacked(stacked)
 
     # warm-up: compile the prepare+forward programs before timing, so the
     # --times file reports steady-state per-image latency (the reference's

@@ -369,13 +369,24 @@ def quantized_apply(model, qweights, variables, scales, x):
     ).forward(x)
 
 
+def quantized_member_apply(model, member, proj):
+    """Forward one stacked-axis slice of a quantized ensemble tree: a
+    (variables, qweights, scales) triple as produced (and K-stacked) by
+    :func:`prepare_quantized_ensemble`."""
+    variables, qweights, scales = member
+    return quantized_apply(model, qweights, variables, scales, proj)
+
+
 def prepare_quantized_ensemble(models_and_vars, calib_inputs):
     """Calibrate and weight-quantize every ensemble member.
 
     ``calib_inputs``: prepared (B, H, W, 1) tensors (z-normed, padded —
     exactly what the float ensemble forward consumes). Returns the
-    ``qargs`` pytree for :func:`make_quantized_ensemble_forward`: a tuple
-    of per-net (variables, qweights, scales). All members must share one
+    ``qargs`` pytree for :func:`make_quantized_ensemble_forward`: a single
+    (variables, qweights, scales) tree whose leaves carry a leading
+    K (net) axis — the int8 analogue of infer/ensemble.py::stack_variables,
+    so map_over_nets and the 'ensemble'-axis sharding in
+    parallel/sharding.py apply to it unchanged. All members must share one
     architecture (cli/test_ensemble enforces this at load time), so the
     jitted calibration program is built once and reused across members."""
     model = models_and_vars[0][0]
@@ -384,7 +395,7 @@ def prepare_quantized_ensemble(models_and_vars, calib_inputs):
     for m, variables in models_and_vars:
         scales = calibrate(m, variables, calib_inputs, stats_fn=stats_fn)
         qargs.append((variables, quantize_weights(m, variables), scales))
-    return tuple(qargs)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *qargs)
 
 
 def make_quantized_ensemble_forward(model, num_lands, orig_hw):
@@ -394,19 +405,23 @@ def make_quantized_ensemble_forward(model, num_lands, orig_hw):
     before the mean — reference util.py:345-356 — and the argmax epilogue),
     so cli/test_ensemble swaps it in behind ``--int8``. All members share
     ``model``'s architecture (the CLI enforces this at load time); the net
-    axis is unrolled like the float path's map_over_nets."""
-    from deepfluoro_tpu.infer.ensemble import postprocess_net_output
+    axis goes through the float path's map_over_nets (unrolled for typical
+    K, lax.map beyond _UNROLL_NET_LIMIT to bound compile time)."""
+    from deepfluoro_tpu.infer.ensemble import map_over_nets, postprocess_net_output
 
     @jax.jit
     def fwd(qargs, proj):
-        segs, heats = [], []
-        for variables, qweights, scales in qargs:
-            out = quantized_apply(model, qweights, variables, scales, proj)
-            s, h = postprocess_net_output(out, orig_hw, num_lands)
-            segs.append(s)
-            heats.append(h)
-        avg_seg = jnp.mean(jnp.stack(segs), axis=0)
-        avg_heats = jnp.mean(jnp.stack(heats), axis=0) if num_lands > 0 else None
+        def one_net(member):
+            out = quantized_member_apply(model, member, proj)
+            return postprocess_net_output(out, orig_hw, num_lands)
+
+        if num_lands > 0:
+            segs, heats = map_over_nets(one_net, qargs)
+        else:
+            segs = map_over_nets(lambda m: one_net(m)[0], qargs)
+            heats = None
+        avg_seg = jnp.mean(segs, axis=0)
+        avg_heats = jnp.mean(heats, axis=0) if num_lands > 0 else None
         labels = jnp.argmax(avg_seg, axis=-1).astype(jnp.uint8)
         return avg_seg, avg_heats, labels
 

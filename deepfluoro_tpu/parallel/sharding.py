@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from deepfluoro_tpu.ops.image import center_crop
 from deepfluoro_tpu.train.config import TrainConfig
 from deepfluoro_tpu.train.step import TrainState
 
@@ -189,11 +188,10 @@ def make_tp_train_step(
     return jit_step, place_state
 
 
-def make_sharded_ensemble_forward(
-    model, num_lands: int, orig_hw, mesh: Mesh
-):
-    """Ensemble forward with the stacked-checkpoint axis sharded over
-    'ensemble' (and the batch over 'data' when present).
+def _make_sharded_member_forward(apply_fn, num_lands: int, orig_hw, mesh: Mesh):
+    """Shared core of the sharded (float and int8) ensemble forwards: the
+    K-stacked member tree is sharded over 'ensemble' (and the batch over
+    'data' when present); ``apply_fn(member_slice, proj)`` runs one member.
 
     Built with shard_map + explicit psum rather than GSPMD in/out shardings:
     the partitioner mishandles the grouped convolutions a vmapped-and-
@@ -202,37 +200,29 @@ def make_sharded_ensemble_forward(
     over ICI. The local nets are unrolled, not vmapped, for the same
     grouped-conv reason (see infer.ensemble.map_over_nets).
     """
-    from deepfluoro_tpu.infer.ensemble import map_over_nets
+    from deepfluoro_tpu.infer.ensemble import map_over_nets, postprocess_net_output
 
     ens = "ensemble"
     assert ens in mesh.axis_names
     data = "data" if "data" in mesh.axis_names else None
     ens_size = int(mesh.shape[ens])
 
-    def local_fwd(stacked_vars, proj):
+    def local_fwd(stacked, proj):
         # inside shard_map the stacked axis holds this device's K/ens_size
         # nets; the TOTAL member count (the average's denominator) is the
         # local count times the axis size — NOT the axis size itself, which
         # only coincides when every device holds exactly one net
-        k_total = jax.tree.leaves(stacked_vars)[0].shape[0] * ens_size
-        def one_net(variables):
-            out = model.apply(variables, proj, train=False)
-            if num_lands > 0:
-                seg, heats = out
-            else:
-                seg, heats = out, None
-            seg = center_crop(seg, orig_hw)
-            if heats is not None:
-                heats = center_crop(heats, orig_hw)
-                hmin = jnp.min(heats, axis=(1, 2, 3), keepdims=True)
-                hmax = jnp.max(heats, axis=(1, 2, 3), keepdims=True)
-                heats = (heats - hmin) / (hmax - hmin)
-            return seg, heats
+        k_total = jax.tree.leaves(stacked)[0].shape[0] * ens_size
+
+        def one_net(member):
+            return postprocess_net_output(
+                apply_fn(member, proj), orig_hw, num_lands
+            )
 
         if num_lands > 0:
-            segs, heats = map_over_nets(one_net, stacked_vars)
+            segs, heats = map_over_nets(one_net, stacked)
         else:
-            segs = map_over_nets(lambda v: one_net(v)[0], stacked_vars)
+            segs = map_over_nets(lambda m: one_net(m)[0], stacked)
             heats = None
         sum_seg = jax.lax.psum(jnp.sum(segs, axis=0), ens)
         avg_seg = sum_seg / k_total
@@ -258,7 +248,38 @@ def make_sharded_ensemble_forward(
 
     var_sharding = NamedSharding(mesh, P(ens))
 
-    def place_stacked(stacked_vars):
-        return jax.device_put(stacked_vars, var_sharding)
+    def place_stacked(stacked):
+        return jax.device_put(stacked, var_sharding)
 
     return fwd, place_stacked
+
+
+def make_sharded_ensemble_forward(
+    model, num_lands: int, orig_hw, mesh: Mesh
+):
+    """Float ensemble forward with the stacked-checkpoint axis sharded over
+    'ensemble' (and the batch over 'data' when present). See
+    :func:`_make_sharded_member_forward` for the shard_map rationale."""
+    return _make_sharded_member_forward(
+        lambda variables, proj: model.apply(variables, proj, train=False),
+        num_lands, orig_hw, mesh,
+    )
+
+
+def make_sharded_quantized_ensemble_forward(
+    model, num_lands: int, orig_hw, mesh: Mesh
+):
+    """int8 ensemble forward (infer/quantized.py) sharded exactly like the
+    float path: each device runs its local members' w8a8 convs and the
+    softmax/heat sums reduce over ICI; the stacked (variables, qweights,
+    scales) tree from prepare_quantized_ensemble shards member-axis-first
+    on every leaf (int8 kernels included). Averaging semantics — crop,
+    per-image heatmap min-max, TOTAL-member denominator — are shared with
+    the float path via postprocess_net_output/_make_sharded_member_forward,
+    so the two cannot drift (reference util.py:345-356)."""
+    from deepfluoro_tpu.infer.quantized import quantized_member_apply
+
+    return _make_sharded_member_forward(
+        lambda member, proj: quantized_member_apply(model, member, proj),
+        num_lands, orig_hw, mesh,
+    )

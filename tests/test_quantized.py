@@ -196,6 +196,51 @@ def test_calibrate_aggregates_max_over_batches():
     assert float(s2["down_0/x0"]) >= float(s1["down_0/x0"]) * 2.9
 
 
+def test_quantized_ensemble_laxmap_fallback_beyond_unroll_limit():
+    """For K past _UNROLL_NET_LIMIT the quantized forward must fall through
+    map_over_nets' lax.map path (bounding compile time) and still average
+    exactly like a hand-unrolled per-net loop — int8 kernels, per-net
+    scales dict and all riding the mapped axis."""
+    from deepfluoro_tpu.infer.ensemble import _UNROLL_NET_LIMIT
+    from deepfluoro_tpu.infer.quantized import (
+        make_quantized_ensemble_forward,
+        prepare_quantized_ensemble,
+    )
+
+    k = _UNROLL_NET_LIMIT + 1
+    model = UNet(n_classes=3, depth=2, wf=1, padding=True, batch_norm=False,
+                 max_pool=False, num_lands=2)
+    members = []
+    for i in range(k):
+        variables, x = _init(model, (2, 16, 16, 1), seed=i)
+        members.append((model, variables))
+    qargs = prepare_quantized_ensemble(members, [x])
+    assert jax.tree.leaves(qargs)[0].shape[0] == k
+
+    fwd = make_quantized_ensemble_forward(model, num_lands=2, orig_hw=(16, 16))
+    avg_seg, avg_heats, labels = fwd(qargs, x)
+
+    # hand-unrolled oracle with the same scales/qweights
+    from deepfluoro_tpu.infer.ensemble import postprocess_net_output
+    from deepfluoro_tpu.infer.quantized import quantized_member_apply
+
+    segs, heats = [], []
+    for i in range(k):
+        member = jax.tree.map(lambda a: a[i], qargs)
+        s, h = postprocess_net_output(
+            quantized_member_apply(model, member, x), (16, 16), 2
+        )
+        segs.append(np.asarray(s))
+        heats.append(np.asarray(h))
+    np.testing.assert_allclose(
+        np.asarray(avg_seg), np.mean(segs, axis=0), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(avg_heats), np.mean(heats, axis=0), atol=1e-6
+    )
+    assert labels.dtype == jnp.uint8
+
+
 # ---------------------------------------------------------------------------
 # the --int8 inference surface (cli/test_ensemble + seg_dataset_ensemble)
 
@@ -276,7 +321,47 @@ class TestInt8EnsembleSurface:
             assert fq["nn-segs"].dtype == np.uint8
             assert fq["nn-segs"].shape == ff["nn-segs"].shape
 
-    def test_cli_int8_rejects_meshes(self, tmp_path):
+    def test_cli_int8_composes_with_meshes(self, tmp_path):
+        """--int8 x --ensemble-devices/--dp-devices: sharding the quantized
+        member tree is pure parallelism — same calibration protocol, same
+        scales/qweights — so nn-segs must match the unsharded int8 run
+        exactly and nn-heats to psum-reordering tolerance, including the
+        padded final partial batch (6 projections at batch 4)."""
+        import h5py as h5
+
+        from deepfluoro_tpu.cli import test_ensemble as te_cli
+        from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+        from deepfluoro_tpu.train import TrainConfig
+
+        h5p = write_synthetic_dataset(
+            str(tmp_path / "ds.h5"), num_specimens=1, num_projs=6, img_dim=32
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True,
+            padding=True, no_max_pool=True, num_lands=14, proj_unet_dim=36,
+        )
+        paths = self._checkpoints(tmp_path, cfg, 4)
+
+        out_plain = str(tmp_path / "plain.h5")
+        te_cli.main([h5p, out_plain, "--pats", "1", "--nets", *paths,
+                     "--batch-size", "4", "--no-gpu", "--int8",
+                     "--int8-calib-batches", "1"])
+        out_mesh = str(tmp_path / "mesh.h5")
+        te_cli.main([h5p, out_mesh, "--pats", "1", "--nets", *paths,
+                     "--batch-size", "4", "--no-gpu", "--int8",
+                     "--int8-calib-batches", "1",
+                     "--ensemble-devices", "2", "--dp-devices", "2"])
+
+        with h5.File(out_plain, "r") as f1, h5.File(out_mesh, "r") as f2:
+            np.testing.assert_array_equal(f1["nn-segs"][:], f2["nn-segs"][:])
+            np.testing.assert_allclose(
+                f1["nn-heats"][:], f2["nn-heats"][:], atol=1e-5
+            )
+
+    def test_int8_rejects_zero_calib_batches(self, tmp_path):
+        """calib_batches < 1 used to fail later with an opaque KeyError in
+        the quantized forward's tracing; it must be a clear error at the
+        boundary."""
         from deepfluoro_tpu.cli import test_ensemble as te_cli
         from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
         from deepfluoro_tpu.train import TrainConfig
@@ -288,8 +373,8 @@ class TestInt8EnsembleSurface:
             num_classes=7, depth=2, init_feats_exp=2, batch_norm=True,
             padding=True, no_max_pool=True, num_lands=14, proj_unet_dim=36,
         )
-        paths = self._checkpoints(tmp_path, cfg, 2)
-        with pytest.raises(ValueError, match="does not compose"):
+        paths = self._checkpoints(tmp_path, cfg, 1)
+        with pytest.raises(ValueError, match="calibration batch"):
             te_cli.main([h5p, str(tmp_path / "o.h5"), "--pats", "1",
                          "--nets", *paths, "--no-gpu", "--int8",
-                         "--ensemble-devices", "2"])
+                         "--int8-calib-batches", "0"])
