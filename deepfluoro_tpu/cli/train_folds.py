@@ -72,7 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint-prefix", help="Prefix for per-fold resume checkpoints", type=str, default="zz_fold_checkpoint")
     parser.add_argument("--train-loss-prefix", help="Prefix for per-fold train loss txt files ('' disables)", type=str, default="")
     parser.add_argument("--valid-loss-prefix", help="Prefix for per-fold valid loss txt files ('' disables)", type=str, default="")
-    parser.add_argument("--ensemble-devices", help="shard the fold axis over this many devices (an 'ensemble' mesh axis); 0 = single device", type=int, default=0)
+    parser.add_argument("--ensemble-devices", help="shard the fold axis over this many devices (an 'ensemble' mesh axis); 0 = single device (or, multi-process, every pod device)", type=int, default=0)
+    parser.add_argument("--num-processes", help="total process count for multi-host (pod) fold training; run one process per host with the same flags", type=int, default=0)
+    parser.add_argument("--process-id", help="this process's index in [0, --num-processes)", type=int, default=None)
+    parser.add_argument("--coordinator", help="multi-host coordinator address host:port (jax.distributed)", type=str, default=None)
     parser.add_argument("--save-restart-net", help="Prefix for per-fold pre-warm-restart snapshots <prefix>_specXX_RR.pt (cos schedule)", type=str, default="")
     parser.add_argument("--save-after-n-restarts", help="Only save pre-restart snapshots once this many restarts have happened", type=int, default=0)
     parser.add_argument("--stream-data", help="Keep the union dataset in host memory and stream prefetched per-fold batches to the device (for archives too large for HBM, e.g. full-res); default keeps the union device-resident", action="store_true")
@@ -86,6 +89,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # multi-host entry: join the pod BEFORE any device query — select_platform
+    # eagerly PINS (initializes) the requested backend, and
+    # jax.distributed.initialize refuses to run once any backend exists
+    # (same ordering contract as cli.train)
+    multiproc = bool(args.num_processes and args.num_processes > 1)
+    if multiproc:
+        from deepfluoro_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
 
     from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
 
@@ -141,18 +154,23 @@ def main(argv=None):
     )
 
     mesh = None
-    if args.ensemble_devices > 0:
+    if args.ensemble_devices > 0 or multiproc:
         import jax
 
         from deepfluoro_tpu.parallel import make_mesh
 
-        assert len(pats) % args.ensemble_devices == 0, (
-            "fold count {} must divide over {} devices".format(len(pats), args.ensemble_devices)
+        n_dev = args.ensemble_devices
+        if multiproc and n_dev <= 0:
+            # multi-host without an explicit layout: the 'ensemble' axis must
+            # span the pod (a mesh over one host's devices cannot satisfy
+            # fit_multifold's every-process-owns-mesh-devices requirement)
+            n_dev = len(jax.devices())
+        assert len(pats) % n_dev == 0, (
+            "fold count {} must divide over {} devices".format(len(pats), n_dev)
         )
-        mesh = make_mesh(
-            {"ensemble": args.ensemble_devices},
-            devices=jax.devices()[: args.ensemble_devices],
-        )
+        mesh = make_mesh({"ensemble": n_dev}, devices=jax.devices()[:n_dev])
+        if jax.process_index() == 0:
+            print("device mesh: {{'ensemble': {}}}".format(n_dev), flush=True)
 
     out = fit_multifold(
         args.input_data_file_path,
@@ -165,12 +183,15 @@ def main(argv=None):
         mesh=mesh,
         stream_data=args.stream_data,
     )
-    for k, p in enumerate(pats):
-        print(
-            "fold {} (held-out spec {:02d}): best valid {:.6f} -> {}_spec{:02d}.pt".format(
-                k, p, out["best_valid_losses"][k], args.net_prefix, p
+    import jax
+
+    if jax.process_index() == 0:
+        for k, p in enumerate(pats):
+            print(
+                "fold {} (held-out spec {:02d}): best valid {:.6f} -> {}_spec{:02d}.pt".format(
+                    k, p, out["best_valid_losses"][k], args.net_prefix, p
+                )
             )
-        )
 
 
 if __name__ == "__main__":

@@ -87,12 +87,30 @@ def fold_state(stacked_state, k: int):
     return _fold_slice(stacked_state, jnp.int32(k))
 
 
-def _shard_over_folds(mesh, fn, in_folded, num_outputs: int):
+def _make_fold_extractor(mesh):
+    """Fold extraction for checkpointing on a multi-PROCESS mesh: fold k's
+    shard may live entirely on another process's devices, so a plain jitted
+    slice would hand the (process-0) writer an array it cannot fetch. This
+    variant pins replicated out_shardings — the slice compiles to a gather
+    that every process dispatches in lockstep, after which each host holds
+    a local replica and the writer's host fetch is collective-free (the
+    same replicated-read contract AsyncCheckpointer.save documents)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    sl = jax.jit(
+        lambda s, k: jax.tree.map(lambda x: x[k], s), out_shardings=repl
+    )
+    return lambda stacked, k: sl(stacked, jnp.int32(k))
+
+
+def _shard_over_folds(mesh, fn, in_folded, num_outputs: int, replicate_outputs=None):
     """Wrap a multifold step/eval function in a shard_map over the
     'ensemble' mesh axis. Folds are fully independent, so each device simply
-    runs its K/n folds' lax.map program — no collectives. (GSPMD alone
-    mispartitions the grouped convs a vmapped ensemble lowers to; see
-    parallel/sharding.py — shard_map sidesteps that.)
+    runs its K/n folds' lax.map program — the only collective is the tiny
+    loss all-gather below. (GSPMD alone mispartitions the grouped convs a
+    vmapped ensemble lowers to; see parallel/sharding.py — shard_map
+    sidesteps that.)
 
     ``in_folded``: one bool per positional argument — True means the
     argument carries a leading (K,) fold axis and is sharded over
@@ -100,12 +118,40 @@ def _shard_over_folds(mesh, fn, in_folded, num_outputs: int):
     arrays). A None argument (archive without lands) is an EMPTY pytree, so
     its spec maps over zero leaves and the shard_map boundary passes it
     through — pinned by tests/test_multifold.py (the lands-free sharded
-    run). All ``num_outputs`` outputs are fold-sharded."""
+    run).
+
+    ``replicate_outputs``: one bool per output — True all-gathers that
+    output's leading fold axis over 'ensemble' inside the program, so the
+    full (K, ...) value lands replicated on every device. The loss vectors
+    take this path: the host loop reads them each step, and under
+    jax.distributed a fold-sharded array would not be addressable on the
+    processes that do not own the fold (loop.fit's losses are replicated by
+    construction; this keeps multifold's drain pattern identical on a pod).
+    Cost: a (K,)-element ICI gather per step — noise next to the conv work.
+    Outputs default to fold-sharded."""
     from jax.sharding import PartitionSpec as P
 
     fold_spec = P("ensemble")
     in_specs = tuple(fold_spec if f else P() for f in in_folded)
-    out_specs = (fold_spec,) * num_outputs if num_outputs > 1 else fold_spec
+    if replicate_outputs is None:
+        replicate_outputs = (False,) * num_outputs
+    assert len(replicate_outputs) == num_outputs
+
+    if any(replicate_outputs):
+        inner = fn
+
+        def fn(*args):
+            outs = inner(*args)
+            if num_outputs == 1:
+                outs = (outs,)
+            outs = tuple(
+                jax.lax.all_gather(o, "ensemble", axis=0, tiled=True) if r else o
+                for o, r in zip(outs, replicate_outputs)
+            )
+            return outs if num_outputs > 1 else outs[0]
+
+    specs = tuple(P() if r else fold_spec for r in replicate_outputs)
+    out_specs = specs if num_outputs > 1 else specs[0]
     return jax.shard_map(
         fn,
         mesh=mesh,
@@ -151,9 +197,11 @@ def make_fused_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=None):
         return jax.lax.map(one_fold, (stacked_state, idx, step_seeds, lr_vec))
 
     if mesh is not None:
-        # stacked_state + 3 replicated dataset arrays + idx/seeds/lrs per fold
+        # stacked_state + 3 replicated dataset arrays + idx/seeds/lrs per
+        # fold; losses replicated so every host can drain them
         step_impl = _shard_over_folds(
-            mesh, step_impl, (True, False, False, False, True, True, True), 2
+            mesh, step_impl, (True, False, False, False, True, True, True), 2,
+            replicate_outputs=(False, True),
         )
     return jax.jit(step_impl, donate_argnums=(0,))
 
@@ -180,7 +228,8 @@ def make_multifold_eval_step(cfg: TrainConfig, model, aug_cfg, num_lands_for_los
 
     if mesh is not None:
         eval_impl = _shard_over_folds(
-            mesh, eval_impl, (True, False, False, False, True), 1
+            mesh, eval_impl, (True, False, False, False, True), 1,
+            replicate_outputs=(True,),
         )
     return jax.jit(eval_impl)
 
@@ -232,7 +281,9 @@ def make_streaming_multifold_step(cfg: TrainConfig, model, tx, aug_cfg, mesh=Non
     if mesh is not None:
         # every positional arg carries the leading fold axis (streamed
         # batches are per-fold too) — shard them all over 'ensemble'
-        step_impl = _shard_over_folds(mesh, step_impl, (True,) * 6, 2)
+        step_impl = _shard_over_folds(
+            mesh, step_impl, (True,) * 6, 2, replicate_outputs=(False, True)
+        )
     return jax.jit(step_impl, donate_argnums=(0,))
 
 
@@ -259,7 +310,9 @@ def make_streaming_multifold_eval_step(
         return jax.lax.map(one_fold, xs)
 
     if mesh is not None:
-        eval_impl = _shard_over_folds(mesh, eval_impl, (True,) * 4, 1)
+        eval_impl = _shard_over_folds(
+            mesh, eval_impl, (True,) * 4, 1, replicate_outputs=(True,)
+        )
     return jax.jit(eval_impl)
 
 
@@ -359,7 +412,7 @@ def fit_multifold(
     """
 
     def log(msg):
-        if verbose:
+        if verbose and jax.process_index() == 0:
             print(msg, flush=True)
 
     k_folds = len(pats)
@@ -368,15 +421,29 @@ def fit_multifold(
         "fit_multifold validates on a per-fold split of the training pool "
         "(the held-out specimen is the TEST set); set cfg.train_valid_split"
     )
-    # loud guard instead of a deadlock: the fold loop lacks loop.fit's
-    # cross-process stop agreement and its host-side loss drains assume
-    # addressable arrays — 'ensemble' sharding is a SINGLE-host (ICI)
-    # feature today
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "fit_multifold does not support multi-process (jax.distributed) "
-            "runs; shard the fold axis over the devices of one host, or "
-            "run per-fold fit() processes"
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # the pod path: the fold axis shards over an 'ensemble' mesh that
+        # spans every process (each host trains its folds; the per-step loss
+        # all-gather and the checkpoint-time fold gathers are the only
+        # cross-host traffic). Same machinery loop.fit proved out: per-epoch
+        # stop agreement, process-0 single-writer files, lockstep saves.
+        assert mesh is not None and "ensemble" in mesh.axis_names, (
+            "multi-process fit_multifold requires an 'ensemble' device mesh "
+            "(cli.train_folds --ensemble-devices with --num-processes)"
+        )
+        procs_on_mesh = {d.process_index for d in mesh.devices.flat}
+        assert len(procs_on_mesh) == jax.process_count(), (
+            "the ensemble mesh spans only {} of {} processes — every process "
+            "must own mesh devices (it runs the lockstep fold program)".format(
+                len(procs_on_mesh), jax.process_count()
+            )
+        )
+    if mesh is not None:
+        ens_size = int(mesh.shape["ensemble"])
+        assert k_folds % ens_size == 0, (
+            "{} folds do not shard evenly over the {}-way 'ensemble' "
+            "mesh axis".format(k_folds, ens_size)
         )
 
     ck_paths = ["{}_spec{:02d}.pt".format(checkpoint_prefix, p) for p in pats]
@@ -384,6 +451,24 @@ def fit_multifold(
 
     # ----- resume ---------------------------------------------------------
     have_ck = [os.path.exists(p) for p in ck_paths]
+    if multiproc:
+        # every process restores independently (process 0 wrote the files,
+        # but ALL must see them: the restored stacked state is device_put
+        # fold-sharded, which does not verify cross-process equality, and
+        # the meta overrides cfg). Requires shared storage; fail loudly on
+        # disagreement instead of silently split-braining (loop.fit's rule).
+        from jax.experimental import multihost_utils
+
+        seen = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([1 if h else 0 for h in have_ck], np.int32)
+            )
+        ).reshape(jax.process_count(), k_folds)
+        assert (seen == seen[0]).all(), (
+            "fold checkpoints visible on some processes but not others — "
+            "multi-process resume requires shared storage (per-process "
+            "visibility: {})".format(seen.tolist())
+        )
     resume = all(have_ck)
     if any(have_ck) and not resume:
         raise RuntimeError(
@@ -557,19 +642,54 @@ def fit_multifold(
         projs_all = segs_all = lands_all = None
         if mesh is None:
             place_batch = jax.device_put
+
+            def assemble(idx):
+                """(K, B) indices -> device-placed (K, B, ...) batches."""
+                return (
+                    place_batch(union.projs[idx]),
+                    None if union.segs is None else place_batch(union.segs[idx]),
+                    None if union.lands is None else place_batch(union.lands[idx]),
+                )
         else:
+            # fold-sharded batches are assembled from PROCESS-LOCAL fold
+            # rows (make_array_from_process_local_data): purely local
+            # per-device transfers. A plain device_put(full, P('ensemble'))
+            # is NOT safe here — for cross-process shardings it runs a
+            # hidden assert_equal COLLECTIVE, and these batches are built on
+            # the prefetch producer thread, whose collective would race the
+            # main thread's step dispatch and deadlock the pod (measured;
+            # each process also only slices its own folds' rows this way).
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             batch_sharding = NamedSharding(mesh, P("ensemble"))
-            place_batch = lambda x: jax.device_put(x, batch_sharding)
-
-        def assemble(idx):
-            """(K, B) indices -> device-placed (K, B, ...) batch arrays."""
-            return (
-                place_batch(union.projs[idx]),
-                None if union.segs is None else place_batch(union.segs[idx]),
-                None if union.lands is None else place_batch(union.lands[idx]),
+            ens_axis = list(mesh.axis_names).index("ensemble")
+            per = k_folds // int(mesh.shape["ensemble"])
+            local_coords = sorted({
+                idx[ens_axis]
+                for idx, d in np.ndenumerate(mesh.devices)
+                if d.process_index == jax.process_index()
+            })
+            local_folds = np.concatenate(
+                [np.arange(c * per, (c + 1) * per) for c in local_coords]
             )
+
+            def place_batch(rows_by_fold):
+                """(K_local, B, ...) local rows -> global (K, B, ...)."""
+                return jax.make_array_from_process_local_data(
+                    batch_sharding,
+                    np.ascontiguousarray(rows_by_fold),
+                    (k_folds,) + rows_by_fold.shape[1:],
+                )
+
+            def assemble(idx):
+                """(K, B) indices -> fold-sharded (K, B, ...) batches; only
+                this process's folds' rows are sliced and transferred."""
+                lidx = idx[local_folds]
+                return (
+                    place_batch(union.projs[lidx]),
+                    None if union.segs is None else place_batch(union.segs[lidx]),
+                    None if union.lands is None else place_batch(union.lands[lidx]),
+                )
     else:
         fused_step = make_fused_multifold_step(cfg, model, tx, aug_train, mesh=mesh)
         eval_step = make_multifold_eval_step(
@@ -645,8 +765,12 @@ def fit_multifold(
     except ValueError:
         pass
 
+    extract_fold = _make_fold_extractor(mesh) if multiproc else fold_state
+
     def save_fold(k, path, light=False):
-        st = fold_state(stacked, k)
+        # all processes dispatch the (gathering, under multiproc) slice in
+        # lockstep; only process 0's checkpointer then snapshots and writes
+        st = extract_fold(stacked, k)
         checkpointers[k].save(
             path,
             meta=cfg.to_checkpoint_meta(),
@@ -860,6 +984,23 @@ def fit_multifold(
             elif epoch >= cfg.max_num_epochs:
                 keep_training = False
                 log("  Exiting - maximum number of epochs performed!")
+
+            if multiproc:
+                # per-PROCESS stop inputs (local wall clock for --max-hours, a
+                # SIGTERM delivered to one host) split-brain the pod: one
+                # process leaves the loop while its peers block forever at the
+                # next fold collective. Stop everywhere if ANY process wants
+                # to stop (loop.fit's agreement rule).
+                from jax.experimental import multihost_utils
+
+                stops = np.asarray(
+                    multihost_utils.process_allgather(
+                        np.asarray([0 if keep_training else 1], np.int32)
+                    )
+                ).reshape(-1)
+                if int(stops.max()) and keep_training:
+                    keep_training = False
+                    log("  Exiting - a peer process requested termination!")
 
             if not keep_training and not saved_ck_this_epoch:
                 log("    saving fold checkpoints before exit!")
