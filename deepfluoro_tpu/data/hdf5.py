@@ -153,6 +153,39 @@ def _lr_land_permutation(num_lands: int, land_names: Sequence[str] | None) -> np
     return perm
 
 
+def _mirror_rows(
+    projs: np.ndarray,
+    segs: np.ndarray | None,
+    lands: np.ndarray | None,
+    cols: int,
+    land_names: Sequence[str] | None,
+    class_swap: Sequence[tuple[int, int]],
+):
+    """Left/right mirror of a row batch — the per-row math shared by
+    lr_flip_duplicate (whole-dataset duplication) and
+    LazyFluoroReader.take (mirror-on-read for the streaming pod path):
+    columns flip; bilateral seg labels swap; in-view landmark x mirrors to
+    (cols-1)-x and the l/r landmark channels swap."""
+    m_projs = projs[:, :, ::-1]
+
+    m_segs = None
+    if segs is not None:
+        lut = np.arange(256, dtype=segs.dtype)
+        for a, b in class_swap:
+            lut[a], lut[b] = b, a
+        m_segs = lut[segs[:, :, ::-1]]
+
+    m_lands = None
+    if lands is not None:
+        m_lands = lands.copy()
+        finite = np.isfinite(m_lands[:, 0, :])
+        m_lands[:, 0, :][finite] = (cols - 1) - m_lands[:, 0, :][finite]
+        perm = _lr_land_permutation(m_lands.shape[-1], land_names)
+        m_lands = m_lands[:, :, perm]
+
+    return m_projs, m_segs, m_lands
+
+
 def lr_flip_duplicate(
     data: "FluoroData",
     land_names: Sequence[str] | None = None,
@@ -167,28 +200,14 @@ def lr_flip_duplicate(
     femur); landmark x mirrors to (cols-1)-x for in-view landmarks and the
     l/r landmark pairs swap (by '-l'/'-r' name suffix when names are given,
     adjacent pairs otherwise)."""
-    projs = np.concatenate([data.projs, data.projs[:, :, ::-1]])
-
-    segs = None
-    if data.segs is not None:
-        flipped = data.segs[:, :, ::-1]
-        lut = np.arange(256, dtype=data.segs.dtype)
-        for a, b in class_swap:
-            lut[a], lut[b] = b, a
-        segs = np.concatenate([data.segs, lut[flipped]])
-
-    lands = None
-    if data.lands is not None:
-        cols = data.orig_img_shape[1]
-        mirrored = data.lands.copy()
-        finite = np.isfinite(mirrored[:, 0, :])
-        mirrored[:, 0, :][finite] = (cols - 1) - mirrored[:, 0, :][finite]
-        perm = _lr_land_permutation(mirrored.shape[-1], land_names)
-        mirrored = mirrored[:, :, perm]
-        lands = np.concatenate([data.lands, mirrored])
-
+    m_projs, m_segs, m_lands = _mirror_rows(
+        data.projs, data.segs, data.lands, data.orig_img_shape[1],
+        land_names, class_swap,
+    )
     return FluoroData(
-        projs=projs, segs=segs, lands=lands,
+        projs=np.concatenate([data.projs, m_projs]),
+        segs=None if data.segs is None else np.concatenate([data.segs, m_segs]),
+        lands=None if data.lands is None else np.concatenate([data.lands, m_lands]),
         orig_img_shape=data.orig_img_shape, minmax=data.minmax,
     )
 
@@ -285,6 +304,126 @@ def load_dataset(
                 names = None
         data = lr_flip_duplicate(data, land_names=names)
     return data
+
+
+class LazyFluoroReader:
+    """Index-addressable on-demand view of the preprocessed archive — the
+    per-host data layer of multi-host streaming (SURVEY §2.3 DP row:
+    "per-host data loading of disjoint specimen shards"). Nothing is held
+    resident: ``take(rows)`` reads exactly the requested rows from disk, so
+    a pod process feeding its 1/P slice of every global batch touches ~N/P
+    rows per epoch and keeps O(batch) host memory instead of replicating
+    the full union (2.5 GB at full res, README.md:62-68) into every host.
+
+    Semantics match ``load_dataset`` row-for-row: specimens concatenate in
+    ``pat_inds`` order, landmarks are finite-checked then OOB-marked inf.
+    With ``dup_lr_flip`` the virtual index space doubles: row ``i + n_base``
+    is the left/right mirror of row ``i`` (``_mirror_rows`` — identical math
+    to lr_flip_duplicate, so streamed and resident trajectories coincide).
+
+    Thread discipline: the persistent h5py handle is NOT thread-safe; all
+    ``take`` calls must come from one thread at a time (the training loops
+    call it from a single prefetch producer thread)."""
+
+    def __init__(
+        self,
+        h5_file_path: str,
+        pat_inds: Sequence[int],
+        dup_lr_flip: bool = False,
+        class_swap: Sequence[tuple[int, int]] = ((1, 2), (5, 6)),
+    ):
+        self._f = h5.File(h5_file_path, "r")
+        self._groups = []
+        self.orig_img_shape = None
+        counts = []
+        has_segs, has_lands = [], []
+        for pat_idx in pat_inds:
+            g = self._f["{:02d}".format(pat_idx)]
+            shape = g["projs"].shape
+            assert len(shape) == 3
+            if self.orig_img_shape is None:
+                self.orig_img_shape = (shape[1], shape[2])
+            else:
+                assert self.orig_img_shape == (shape[1], shape[2])
+            counts.append(shape[0])
+            has_segs.append("segs" in g)
+            has_lands.append("lands" in g)
+            self._groups.append(g)
+        assert len(set(has_segs)) == 1 and len(set(has_lands)) == 1, (
+            "specimens {} disagree on having segs/lands".format(list(pat_inds))
+        )
+        self.has_segs = has_segs[0]
+        self.has_lands = has_lands[0]
+        self._offsets = np.concatenate([[0], np.cumsum(counts)])
+        self.n_base = int(self._offsets[-1])
+        self._dup = dup_lr_flip
+        self._class_swap = class_swap
+        self._land_names = None
+        if dup_lr_flip and self.has_lands:
+            try:
+                self._land_names = get_land_names_from_dataset(h5_file_path)
+            except (KeyError, OSError):
+                self._land_names = None
+        self.num_lands = 0
+        if self.has_lands:
+            self.num_lands = self._groups[0]["lands"].shape[2]
+        self.minmax = None
+
+    def __len__(self) -> int:
+        return self.n_base * 2 if self._dup else self.n_base
+
+    def close(self) -> None:
+        self._f.close()
+
+    def _read(self, dset_name: str, rows: np.ndarray, dtype) -> np.ndarray:
+        """Gather arbitrary (unsorted, possibly duplicated) base rows from
+        the per-specimen datasets. h5py fancy reads need sorted unique
+        in-bounds indices per dataset; request order is restored after."""
+        uniq, inverse = np.unique(rows, return_inverse=True)
+        parts = []
+        for si, g in enumerate(self._groups):
+            lo, hi = self._offsets[si], self._offsets[si + 1]
+            m = (uniq >= lo) & (uniq < hi)
+            if not m.any():
+                continue
+            local = (uniq[m] - lo).astype(np.int64)
+            parts.append(g[dset_name][local])
+        out = np.concatenate(parts).astype(dtype)
+        return out[inverse]
+
+    def take(self, indices: Sequence[int]):
+        """Read the given virtual rows -> (projs, segs, lands) numpy arrays
+        in request order (segs/lands None when the archive lacks them)."""
+        idx = np.asarray(indices, np.int64)
+        assert idx.size and idx.min() >= 0 and idx.max() < len(self), (
+            "rows out of range for {}-row reader".format(len(self))
+        )
+        mirrored = idx >= self.n_base
+        base = np.where(mirrored, idx - self.n_base, idx)
+
+        projs = self._read("projs", base, np.float32)
+        segs = self._read("segs", base, np.uint8) if self.has_segs else None
+        lands = None
+        if self.has_lands:
+            lands = self._read("lands", base, np.float32)
+            assert np.all(np.isfinite(lands)), (
+                "inputs must be finite (dataset.py:419)"
+            )
+            lands = mark_oob_landmarks_inf(lands, self.orig_img_shape)
+
+        if mirrored.any():
+            m = mirrored
+            m_projs, m_segs, m_lands = _mirror_rows(
+                projs[m], None if segs is None else segs[m],
+                None if lands is None else lands[m],
+                self.orig_img_shape[1], self._land_names, self._class_swap,
+            )
+            projs[m] = m_projs
+            if segs is not None:
+                segs[m] = m_segs
+            if lands is not None:
+                lands[m] = m_lands
+        return projs, segs, lands
 
 
 def split_indices(n: int, train_valid_split: float, seed: int | None = None):

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from deepfluoro_tpu.data.augment import AugmentConfig, prepare_batch
-from deepfluoro_tpu.data.hdf5 import load_dataset, split_train_valid
+from deepfluoro_tpu.data.hdf5 import FluoroData, load_dataset, split_train_valid
 from deepfluoro_tpu.data.pipeline import BatchIterator
 from deepfluoro_tpu.ops.image import calc_pad_amount
 from deepfluoro_tpu.train.checkpoint import (
@@ -137,7 +137,11 @@ def fit(
     sample-identical to the single-host run; process 0 alone writes
     checkpoints and loss logs. Multi-host requires the global batch size to
     split evenly over processes; an indivisible final partial batch is
-    dropped (logged once).
+    dropped (logged once). With ``stream_data=True`` under multi-host, no
+    process materializes the training union: a lazy archive reader serves
+    each host only the rows of its slice of every global batch (per-host
+    disjoint loading, ~N/P rows per epoch, O(batch) host memory) with the
+    SAME trajectory — the mode for full-res/2x archives on pods.
     """
 
     def log(msg):
@@ -220,51 +224,98 @@ def fit(
     assert lrs_is_cos or lrs_none or lrs_plateau
 
     # ----- data ---------------------------------------------------------
-    log("initializing training dataset")
-    train_data = load_dataset(data_file_path, train_pats)
+    # multi-host + stream_data: per-host disjoint loading (SURVEY §2.3 DP
+    # row). No process materializes the union — a lazy reader serves each
+    # host exactly the rows of ITS slice of every global batch (~N/P rows
+    # per epoch, O(batch) resident), from a prefetch producer thread so the
+    # reads and H2D overlap compute. The global batch sequence (shuffle
+    # order, split, mirror layout) is bit-identical to the resident path.
+    mh_stream = multiproc and stream_data
+    train_data = reader = train_rows = None
+    if mh_stream:
+        log("initializing training dataset (per-host streaming reader)")
+        from deepfluoro_tpu.data.hdf5 import LazyFluoroReader, split_indices
 
-    def maybe_dup(data):
-        # mirrors join the TRAINING side only, AFTER any split: duplicating
-        # before a random split would put the mirror of ~every validation
-        # frame into training, inflating the validation metric that drives
-        # best-net selection and the plateau schedule
-        if not cfg.dup_lr_flip:
-            return data
-        from deepfluoro_tpu.data.hdf5 import (
-            get_land_names_from_dataset,
-            lr_flip_duplicate,
+        reader = LazyFluoroReader(
+            data_file_path, train_pats, dup_lr_flip=cfg.dup_lr_flip
         )
-
-        names = None
-        if data.lands is not None:
-            try:
-                names = get_land_names_from_dataset(data_file_path)
-            except (KeyError, OSError):
-                log("WARNING: archive has no readable land-names group; "
-                    "flip duplication falls back to ADJACENT-PAIR landmark "
-                    "swapping — verify the landmark channel order is "
-                    "(X-l, X-r) pairs")
-        return lr_flip_duplicate(data, land_names=names)
-
-    if cfg.train_valid_split >= 0:
-        # split indices (stored in checkpoints) refer to the UNDUPLICATED
-        # pool; the deterministic duplication is re-applied after on resume
-        train_data, valid_data, train_idx, valid_idx = split_train_valid(
-            train_data,
-            cfg.train_valid_split,
-            train_valid_idx=(train_idx, valid_idx),
-            seed=cfg.seed,
-        )
-        train_data = maybe_dup(train_data)
+        n_pool = reader.n_base
+        if cfg.train_valid_split >= 0:
+            if train_idx is None or valid_idx is None:
+                train_idx, valid_idx = split_indices(
+                    n_pool, cfg.train_valid_split, cfg.seed
+                )
+            train_idx, valid_idx = list(train_idx), list(valid_idx)
+            assert len(train_idx) + len(valid_idx) == n_pool, (
+                "restored split indices cover {} of {} pool rows".format(
+                    len(train_idx) + len(valid_idx), n_pool
+                )
+            )
+            vp, vs, vl = reader.take(valid_idx)
+            valid_data = FluoroData(
+                projs=vp, segs=vs, lands=vl,
+                orig_img_shape=reader.orig_img_shape,
+            )
+            train_rows = np.asarray(train_idx, np.int64)
+        else:
+            assert valid_pats is not None
+            log("initializing validation dataset")
+            valid_data = load_dataset(data_file_path, valid_pats)
+            train_rows = np.arange(n_pool, dtype=np.int64)
+        if cfg.dup_lr_flip:
+            # mirrors join the TRAINING side only (virtual rows i + n_pool
+            # mirror row i on read — same layout maybe_dup produces)
+            train_rows = np.concatenate([train_rows, train_rows + n_pool])
+        train_ds_len = int(len(train_rows))
+        log("Length of training dataset: {}".format(train_ds_len))
+        log("Length of validation dataset: {}".format(len(valid_data)))
     else:
-        assert valid_pats is not None
-        train_data = maybe_dup(train_data)
-        log("initializing validation dataset")
-        valid_data = load_dataset(data_file_path, valid_pats)
+        log("initializing training dataset")
+        train_data = load_dataset(data_file_path, train_pats)
 
-    train_ds_len = len(train_data)
-    log("Length of training dataset: {}".format(train_ds_len))
-    log("Length of validation dataset: {}".format(len(valid_data)))
+        def maybe_dup(data):
+            # mirrors join the TRAINING side only, AFTER any split:
+            # duplicating before a random split would put the mirror of
+            # ~every validation frame into training, inflating the
+            # validation metric that drives best-net selection and the
+            # plateau schedule
+            if not cfg.dup_lr_flip:
+                return data
+            from deepfluoro_tpu.data.hdf5 import (
+                get_land_names_from_dataset,
+                lr_flip_duplicate,
+            )
+
+            names = None
+            if data.lands is not None:
+                try:
+                    names = get_land_names_from_dataset(data_file_path)
+                except (KeyError, OSError):
+                    log("WARNING: archive has no readable land-names group; "
+                        "flip duplication falls back to ADJACENT-PAIR landmark "
+                        "swapping — verify the landmark channel order is "
+                        "(X-l, X-r) pairs")
+            return lr_flip_duplicate(data, land_names=names)
+
+        if cfg.train_valid_split >= 0:
+            # split indices (stored in checkpoints) refer to the UNDUPLICATED
+            # pool; the deterministic duplication is re-applied after on resume
+            train_data, valid_data, train_idx, valid_idx = split_train_valid(
+                train_data,
+                cfg.train_valid_split,
+                train_valid_idx=(train_idx, valid_idx),
+                seed=cfg.seed,
+            )
+            train_data = maybe_dup(train_data)
+        else:
+            assert valid_pats is not None
+            train_data = maybe_dup(train_data)
+            log("initializing validation dataset")
+            valid_data = load_dataset(data_file_path, valid_pats)
+
+        train_ds_len = len(train_data)
+        log("Length of training dataset: {}".format(train_ds_len))
+        log("Length of validation dataset: {}".format(len(valid_data)))
     if multiproc:
         # the per-epoch loop drops an indivisible tail batch; with fewer
         # training examples than one global batch EVERY batch would be that
@@ -277,7 +328,9 @@ def fit(
             )
         )
 
-    orig_h, orig_w = train_data.orig_img_shape
+    orig_h, orig_w = (
+        reader.orig_img_shape if mh_stream else train_data.orig_img_shape
+    )
     # init traces the model at (pad_h, pad_h) and the pad math derives the
     # width pad from H — square frames are assumed throughout (true of every
     # DeepFluoro archive); fail loudly rather than init at the wrong width
@@ -546,6 +599,53 @@ def fit(
                 shuffle_rng.shuffle(order)
                 batches = enumerate(range(0, train_ds_len, cfg.batch_size))
 
+            mh_iter = None
+            if feed_mode == "multihost":
+                # assemble each global batch on a producer thread: the host
+                # slice/read and the per-process device_put of batch b+1
+                # overlap step b's compute. With --stream-data the rows come
+                # straight off the archive via the lazy reader (per-host
+                # disjoint loading); otherwise they slice the resident union.
+                from deepfluoro_tpu.data.pipeline import prefetch_sequence
+                from deepfluoro_tpu.parallel.multihost import (
+                    global_batch_from_local,
+                    local_batch_slice,
+                )
+
+                div = math.lcm(int(mesh.shape["data"]), jax.process_count())
+                starts = list(range(0, train_ds_len, cfg.batch_size))
+
+                def mh_make_batch(i):
+                    item = starts[i]
+                    gidx = order[item : item + cfg.batch_size]
+                    bsize = int(gidx.shape[0])
+                    # the explicit cross-process batch assembly
+                    # (make_array_from_process_local_data) requires the
+                    # global batch to split EVENLY over the whole 'data'
+                    # axis AND the processes (lcm) — an indivisible final
+                    # partial batch is dropped (the epoch-dependent shuffle
+                    # rotates which examples)
+                    if bsize % div != 0:
+                        return (item, bsize, None)
+                    lidx = local_batch_slice(gidx)
+                    if mh_stream:
+                        p_np, s_np, l_np = reader.take(train_rows[lidx])
+                    else:
+                        p_np = train_data.projs[lidx]
+                        s_np = None if train_data.segs is None else train_data.segs[lidx]
+                        l_np = None if train_data.lands is None else train_data.lands[lidx]
+                    return (
+                        item, bsize,
+                        (
+                            global_batch_from_local(mesh, p_np),
+                            None if s_np is None else global_batch_from_local(mesh, s_np),
+                            None if l_np is None else global_batch_from_local(mesh, l_np),
+                        ),
+                    )
+
+                mh_iter = prefetch_sequence(mh_make_batch, len(starts))
+                batches = enumerate(starts)
+
             for bi, item in batches:
                 if lr_sched is not None:
                     lr = lr_sched.get_lr()
@@ -560,40 +660,17 @@ def fit(
                         epoch * train_ds_len + bi * cfg.batch_size, lr,
                     )
                 elif feed_mode == "multihost":
-                    from deepfluoro_tpu.parallel.multihost import (
-                        global_batch_from_local,
-                        local_batch_slice,
-                    )
-
-                    gidx = order[item : item + cfg.batch_size]
-                    bsize = int(gidx.shape[0])
-                    # the explicit cross-process batch assembly
-                    # (make_array_from_process_local_data) requires the global
-                    # batch to split EVENLY over the whole 'data' axis — unlike
-                    # the in-program sharding constraints of the single-process
-                    # paths, which tolerate uneven partitions
-                    # equal slices per device AND per process (lcm: the data
-                    # axis can be smaller than the process count on DP x
-                    # spatial meshes and local_batch_slice splits by process)
-                    div = math.lcm(int(mesh.shape["data"]), jax.process_count())
-                    if bsize % div != 0:
+                    p_item, bsize, assembled = next(mh_iter)
+                    assert p_item == item
+                    if assembled is None:
                         # indivisible final partial batch: dropped (the
                         # epoch-dependent shuffle rotates which examples);
                         # the shared example/LR bookkeeping below still runs
                         log("    skipping {}-example tail batch (not divisible "
-                            "into {} equal device/process slices)".format(bsize, div))
+                            "into equal device/process slices)".format(bsize))
                         loss = None
                     else:
-                        lidx = local_batch_slice(gidx)
-                        projs_b = global_batch_from_local(mesh, train_data.projs[lidx])
-                        segs_b = (
-                            None if train_data.segs is None
-                            else global_batch_from_local(mesh, train_data.segs[lidx])
-                        )
-                        lands_b = (
-                            None if train_data.lands is None
-                            else global_batch_from_local(mesh, train_data.lands[lidx])
-                        )
+                        projs_b, segs_b, lands_b = assembled
                         state, loss = stream_step(
                             state, projs_b, segs_b, lands_b,
                             epoch * train_ds_len + item, lr,

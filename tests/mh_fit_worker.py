@@ -5,11 +5,16 @@ contiguous batch slices assembled with global_batch_from_local, replicated
 state, single-writer checkpoints/logs — and must reproduce the single-host
 run exactly.
 
-Usage: python mh_fit_worker.py <process_id> <num_processes> <port> <workdir> <h5>
+Usage: python mh_fit_worker.py <process_id> <num_processes> <port> <workdir>
+                               <h5> [stream:0|1]
+With stream=1 the run exercises per-host disjoint loading (the lazy
+archive reader): the worker additionally verifies NO training union was
+materialized and reports how many archive rows this host actually read.
 Prints machine-readable lines the parent asserts on:
   FIT_EPOCH <pid> <final epoch>
   FIT_BVL <pid> <best valid loss>
   FIT_SUM <pid> <sum of |params|>
+  FIT_ROWS <pid> <valid rows read> <train rows read>   (stream mode only)
 """
 import os
 import sys
@@ -17,6 +22,7 @@ import sys
 pid, nproc, port, workdir, h5path = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5],
 )
+stream = len(sys.argv) > 6 and sys.argv[6] == "1"
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -48,15 +54,45 @@ cfg = TrainConfig(
     train_valid_split=0.75, data_aug=False, checkpoint_freq=1, seed=0,
 )
 
+rows = {"valid": 0, "train": 0, "calls": 0}
+prefix = "fit_mh"
+if stream:
+    # instrument the lazy reader (first take = the validation subset, the
+    # rest are per-batch training reads from the producer thread) and trap
+    # any attempt to materialize the full training union
+    import deepfluoro_tpu.train.loop as loop_mod
+    from deepfluoro_tpu.data import hdf5
+
+    prefix = "fit_mhs"
+    orig_take = hdf5.LazyFluoroReader.take
+
+    def counting_take(self, idx):
+        import numpy as _np
+
+        n = int(_np.asarray(idx).size)
+        rows["calls"] += 1
+        rows["valid" if rows["calls"] == 1 else "train"] += n
+        return orig_take(self, idx)
+
+    hdf5.LazyFluoroReader.take = counting_take
+
+    def no_union(*a, **k):
+        raise AssertionError(
+            "stream-mode multi-host fit() must not load the union dataset"
+        )
+
+    loop_mod.load_dataset = no_union
+
 mesh = make_mesh({"data": 2 * nproc})
 out = fit(
     h5path, [1, 2], cfg,
-    checkpoint_filename=os.path.join(workdir, "fit_mh_ck.pt"),
-    best_valid_filename=os.path.join(workdir, "fit_mh_best.pt"),
-    train_loss_txt=os.path.join(workdir, "fit_mh_tl.txt"),
-    valid_loss_txt=os.path.join(workdir, "fit_mh_vl.txt"),
+    checkpoint_filename=os.path.join(workdir, prefix + "_ck.pt"),
+    best_valid_filename=os.path.join(workdir, prefix + "_best.pt"),
+    train_loss_txt=os.path.join(workdir, prefix + "_tl.txt"),
+    valid_loss_txt=os.path.join(workdir, prefix + "_vl.txt"),
     verbose=False,
     mesh=mesh,
+    stream_data=stream,
 )
 
 # local (collective-free) reads of the fully-replicated final state
@@ -64,3 +100,5 @@ psum = float(sum(np.abs(np.asarray(x)).sum() for x in jax.tree.leaves(out["state
 print("FIT_EPOCH {} {}".format(pid, out["epoch"]), flush=True)
 print("FIT_BVL {} {:.8f}".format(pid, out["best_valid_loss"]), flush=True)
 print("FIT_SUM {} {:.8f}".format(pid, psum), flush=True)
+if stream:
+    print("FIT_ROWS {} {} {}".format(pid, rows["valid"], rows["train"]), flush=True)

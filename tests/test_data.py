@@ -293,3 +293,54 @@ class TestLrFlipDuplicate:
         fin = np.isfinite(dup.lands[5:, 0, :])
         xs = dup.lands[5:, 0, :][fin]
         assert np.all((xs >= 0) & (xs <= 31))
+
+
+class TestLazyFluoroReader:
+    """On-demand archive reader (multi-host per-host disjoint loading,
+    SURVEY §2.3 DP row): row-for-row parity with load_dataset, including
+    mirror-on-read for the duplicated virtual rows."""
+
+    def test_take_matches_load_dataset(self, fixture_h5):
+        from deepfluoro_tpu.data.hdf5 import LazyFluoroReader
+
+        full = load_dataset(fixture_h5, [1, 2])
+        reader = LazyFluoroReader(fixture_h5, [1, 2])
+        assert len(reader) == len(full)
+        assert reader.orig_img_shape == full.orig_img_shape
+        assert reader.num_lands == full.num_lands
+        # unsorted + duplicated request crossing the specimen boundary
+        idx = np.array([7, 0, 11, 7, 3, 6, 0])
+        p, s, l = reader.take(idx)
+        np.testing.assert_array_equal(p, full.projs[idx])
+        np.testing.assert_array_equal(s, full.segs[idx])
+        np.testing.assert_array_equal(l, full.lands[idx])  # incl. inf OOB
+        reader.close()
+
+    def test_mirror_on_read_matches_lr_flip_duplicate(self, fixture_h5):
+        from deepfluoro_tpu.data.hdf5 import (
+            LazyFluoroReader,
+            get_land_names_from_dataset,
+            lr_flip_duplicate,
+        )
+
+        full = lr_flip_duplicate(
+            load_dataset(fixture_h5, [1, 2]),
+            land_names=get_land_names_from_dataset(fixture_h5),
+        )
+        reader = LazyFluoroReader(fixture_h5, [1, 2], dup_lr_flip=True)
+        assert len(reader) == len(full)
+        # mix of base and mirrored virtual rows, unsorted
+        idx = np.array([13, 2, 23, 12, 0, 18])
+        p, s, l = reader.take(idx)
+        np.testing.assert_array_equal(p, full.projs[idx])
+        np.testing.assert_array_equal(s, full.segs[idx])
+        np.testing.assert_array_equal(l, full.lands[idx])
+        reader.close()
+
+    def test_out_of_range_rejected(self, fixture_h5):
+        from deepfluoro_tpu.data.hdf5 import LazyFluoroReader
+
+        reader = LazyFluoroReader(fixture_h5, [1])
+        with pytest.raises(AssertionError, match="out of range"):
+            reader.take([len(reader)])
+        reader.close()
