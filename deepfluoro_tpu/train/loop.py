@@ -844,6 +844,8 @@ def fit(
             train_loss_out.close()
         if valid_loss_out is not None:
             valid_loss_out.close()
+        if reader is not None:
+            reader.close()
         if prev_handler is not None:
             try:
                 signal.signal(signal.SIGTERM, prev_handler)
