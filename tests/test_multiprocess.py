@@ -283,7 +283,8 @@ def _run_mh_folds(tmp_path, h5, stream: int):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        # generous: a worker pair on this 1-CPU box takes ~7-10 min alone
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
         assert p.returncode == 0, out
     return outs
