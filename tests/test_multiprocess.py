@@ -375,6 +375,49 @@ def test_two_process_multifold(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_train_folds_cli_default_mesh(tmp_path):
+    """The documented pod entry for fold training — cli.train_folds with
+    --coordinator/--num-processes/--process-id and NO --ensemble-devices —
+    must default the 'ensemble' mesh to every pod device and complete the
+    lockstep fold program with single-writer artifacts."""
+    from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
+
+    h5 = str(tmp_path / "synthetic.h5")
+    write_synthetic_dataset(h5, num_specimens=4, num_projs=8, img_dim=32)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "mh_folds_cli_worker.py"),
+             str(pid), "2", str(port), str(tmp_path), h5],
+            env=env, cwd=os.path.dirname(TESTS_DIR),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1500)
+        outs.append(out)
+        assert p.returncode == 0, out
+
+    assert "device mesh: {'ensemble': 4}" in outs[0]
+    for out in outs:
+        assert "CLI_FOLDS_DONE" in out
+    # process 0 printed the per-fold summary; process 1 stayed quiet
+    assert "best valid" in outs[0]
+    assert "best valid" not in outs[1]
+    for spec in (1, 2, 3, 4):
+        assert os.path.exists(tmp_path / "cli_mf_best_spec{:02d}.pt".format(spec))
+        assert os.path.exists(tmp_path / "cli_mf_ck_spec{:02d}.pt".format(spec))
+        assert os.path.exists(tmp_path / "cli_mf_vl_spec{:02d}.txt".format(spec))
+
+
+@pytest.mark.slow
 def test_two_process_multifold_streaming(tmp_path):
     """Streaming (host-resident union) multifold across two processes: the
     producer-thread batches device_put fold-sharded over the pod mesh must
