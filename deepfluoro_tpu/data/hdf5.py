@@ -358,12 +358,12 @@ class LazyFluoroReader:
         self.n_base = int(self._offsets[-1])
         self._dup = dup_lr_flip
         self._class_swap = class_swap
-        self._land_names = None
+        self.land_names = None
         if dup_lr_flip and self.has_lands:
             try:
-                self._land_names = get_land_names_from_dataset(h5_file_path)
+                self.land_names = get_land_names_from_dataset(h5_file_path)
             except (KeyError, OSError):
-                self._land_names = None
+                self.land_names = None
         self.num_lands = 0
         if self.has_lands:
             self.num_lands = self._groups[0]["lands"].shape[2]
@@ -373,7 +373,19 @@ class LazyFluoroReader:
         return self.n_base * 2 if self._dup else self.n_base
 
     def close(self) -> None:
-        self._f.close()
+        """Idempotent; also invoked on GC (__del__), so a setup failure
+        between construction and the owning loop's try/finally cannot leak
+        the handle past the reader object's lifetime."""
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+            self._groups = []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _read(self, dset_name: str, rows: np.ndarray, dtype) -> np.ndarray:
         """Gather arbitrary (unsorted, possibly duplicated) base rows from
@@ -416,7 +428,7 @@ class LazyFluoroReader:
             m_projs, m_segs, m_lands = _mirror_rows(
                 projs[m], None if segs is None else segs[m],
                 None if lands is None else lands[m],
-                self.orig_img_shape[1], self._land_names, self._class_swap,
+                self.orig_img_shape[1], self.land_names, self._class_swap,
             )
             projs[m] = m_projs
             if segs is not None:

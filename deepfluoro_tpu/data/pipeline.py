@@ -56,6 +56,24 @@ def prefetch_sequence(make_item, num_items: int, prefetch: int = 2):
             yield item
     finally:
         stop.set()
+        # the producer may be BLOCKED inside q.put (bounded queue, consumer
+        # gone) where stop alone cannot reach it — drain the queue so the
+        # pending put completes, the loop observes stop, and the thread
+        # exits instead of leaking mid-read (matters when make_item holds
+        # resources a caller is about to close, e.g. fit()'s lazy archive
+        # reader). At most one post-drain orphan item can land; it is
+        # simply garbage-collected.
+        import queue as _queue
+
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass
+        # bounded wait for a clean exit (an in-flight make_item finishes
+        # first); a daemon thread that somehow outlives this cannot block
+        # interpreter shutdown
+        t.join(timeout=10.0)
         # drain so a blocked producer can observe the stop flag
         while not q.empty():
             q.get_nowait()

@@ -239,6 +239,13 @@ def fit(
         reader = LazyFluoroReader(
             data_file_path, train_pats, dup_lr_flip=cfg.dup_lr_flip
         )
+        if cfg.dup_lr_flip and reader.has_lands and reader.land_names is None:
+            # same diagnostic the resident path's maybe_dup emits — the two
+            # feed modes must not differ in failure visibility
+            log("WARNING: archive has no readable land-names group; "
+                "flip duplication falls back to ADJACENT-PAIR landmark "
+                "swapping — verify the landmark channel order is "
+                "(X-l, X-r) pairs")
         n_pool = reader.n_base
         if cfg.train_valid_split >= 0:
             if train_idx is None or valid_idx is None:
@@ -556,6 +563,7 @@ def fit(
 
     log("Start Training...")
     completed = False
+    mh_iter = None
     try:
         keep_training = True
         while keep_training:
@@ -599,7 +607,6 @@ def fit(
                 shuffle_rng.shuffle(order)
                 batches = enumerate(range(0, train_ds_len, cfg.batch_size))
 
-            mh_iter = None
             if feed_mode == "multihost":
                 # assemble each global batch on a producer thread: the host
                 # slice/read and the per-process device_put of batch b+1
@@ -844,6 +851,12 @@ def fit(
             train_loss_out.close()
         if valid_loss_out is not None:
             valid_loss_out.close()
+        if mh_iter is not None:
+            # stop the prefetch producer BEFORE closing the reader it reads
+            # from (generator close -> prefetch_sequence's finally stops,
+            # drains, and joins the producer thread) — an exception mid-epoch
+            # must not leave the producer mid-read on a closed h5 handle
+            mh_iter.close()
         if reader is not None:
             reader.close()
         if prev_handler is not None:
