@@ -90,3 +90,24 @@ def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray, spec: P | None 
     return jax.make_array_from_process_local_data(
         NamedSharding(mesh, spec), np.asarray(local_batch)
     )
+
+
+def replicated_from_local(sharding, x):
+    """Place a host array fully replicated on a (possibly multi-process)
+    mesh WITHOUT collectives.
+
+    ``jax.device_put(host_array, cross_process_sharding)`` runs a hidden
+    ``assert_equal`` — an allgather of the ENTIRE value across hosts to
+    verify equality — which is real DCN traffic for large arrays (a
+    device-resident archive, an eval batch per validation step) and is
+    unsafe off the main thread. ``make_array_from_process_local_data``
+    builds the same replicated global array from purely local transfers;
+    the caller guarantees every process passes the same value (true for
+    everything derived deterministically from the shared archive/seed).
+    Single-process shardings take the plain device_put fast path (no
+    assert there).
+    """
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x, x.shape)

@@ -85,9 +85,13 @@ def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None, me
         # augmentation draws across batches if anyone evaluates with aug on
         bkey = jax.random.fold_in(key, bi)
         if repl is not None:
-            projs = jax.device_put(np.asarray(projs), repl)
-            segs = None if segs is None else jax.device_put(np.asarray(segs), repl)
-            lands = None if lands is None else jax.device_put(np.asarray(lands), repl)
+            # collective-free replication: a plain device_put would
+            # assert_equal-allgather every batch across the pod
+            from deepfluoro_tpu.parallel.multihost import replicated_from_local
+
+            projs = replicated_from_local(repl, projs)
+            segs = None if segs is None else replicated_from_local(repl, segs)
+            lands = None if lands is None else replicated_from_local(repl, lands)
         prepared = prepare_batch(aug_cfg, bkey, projs, segs, lands)
         per_sample = eval_step(
             state, prepared["proj"], prepared["seg"], prepared.get("heats")

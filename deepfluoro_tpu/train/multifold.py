@@ -701,11 +701,14 @@ def fit_multifold(
             # replicate the union across the mesh explicitly: a bare
             # jnp.asarray commits it to ONE device and the shard_map'd step
             # would re-broadcast the whole archive every dispatch (loop.fit
-            # places its resident dataset the same way)
+            # places its resident dataset the same way). Collective-free
+            # placement: a plain device_put to a cross-process sharding
+            # would assert_equal-allgather the ENTIRE archive over DCN
+            from deepfluoro_tpu.parallel.multihost import replicated_from_local
             from deepfluoro_tpu.train.loop import _replicated_sharding
 
             repl = _replicated_sharding(mesh)
-            place_union = lambda x: jax.device_put(np.asarray(x), repl)
+            place_union = lambda x: replicated_from_local(repl, x)
         projs_all = place_union(union.projs)
         segs_all = None if union.segs is None else place_union(union.segs)
         lands_all = None if union.lands is None else place_union(union.lands)
