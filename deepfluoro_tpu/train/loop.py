@@ -70,33 +70,55 @@ def evaluate(eval_step, state, data, aug_cfg, batch_size, key, iterator=None, me
     Pass a pre-built (device-resident) BatchIterator via ``iterator`` when
     calling repeatedly — building one here re-uploads the dataset each call.
 
-    With ``mesh`` (state replicated on a device mesh, possibly spanning
-    processes) each batch is placed fully replicated and every device/process
-    evaluates it redundantly — identical results everywhere, exact
-    reference semantics for arbitrary validation-set sizes (no drop-tail),
-    and the cost is negligible at validation scale. Under jax.distributed
-    all processes must call this in lockstep.
+    With ``mesh``: on a SINGLE-host mesh with a 'data' axis each batch is
+    placed batch-sharded (uneven tails padded with row-0 duplicates and
+    masked after), so the prepare+eval programs auto-partition over the
+    axis — d-way faster validation with bit-identical per-sample losses
+    (they are row-local). Under jax.distributed (or meshes without a
+    'data' axis, e.g. pure TP) batches are placed fully replicated and every
+    device/process evaluates redundantly — identical results everywhere,
+    exact reference semantics for arbitrary validation-set sizes; the
+    sharded variant is skipped there because the host loss fetch needs
+    every row addressable. All processes must call this in lockstep.
     """
     repl = _replicated_sharding(mesh)
+    place = None
+    data_axis = 0
+    if mesh is not None:
+        from deepfluoro_tpu.parallel.multihost import replicated_from_local
+
+        if jax.process_count() == 1 and "data" in mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_axis = int(mesh.shape["data"])
+            data_sharded = NamedSharding(mesh, P("data"))
+
+            def place(x, pad):
+                x = np.asarray(x)
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+                return jax.device_put(x, data_sharded)
+        else:
+            # collective-free replication: a plain device_put would
+            # assert_equal-allgather every batch across the pod
+            place = lambda x, pad: replicated_from_local(repl, x)
     losses = []
     it = iterator if iterator is not None else BatchIterator(data, batch_size=batch_size, shuffle=False)
     for bi, (projs, segs, lands) in enumerate(it.epoch()):
         # independent key per batch — reusing one key would correlate the
         # augmentation draws across batches if anyone evaluates with aug on
         bkey = jax.random.fold_in(key, bi)
-        if repl is not None:
-            # collective-free replication: a plain device_put would
-            # assert_equal-allgather every batch across the pod
-            from deepfluoro_tpu.parallel.multihost import replicated_from_local
-
-            projs = replicated_from_local(repl, projs)
-            segs = None if segs is None else replicated_from_local(repl, segs)
-            lands = None if lands is None else replicated_from_local(repl, lands)
+        n_real = int(np.asarray(projs).shape[0])
+        if place is not None:
+            pad = (-n_real) % data_axis if data_axis > 1 else 0
+            projs = place(projs, pad)
+            segs = None if segs is None else place(segs, pad)
+            lands = None if lands is None else place(lands, pad)
         prepared = prepare_batch(aug_cfg, bkey, projs, segs, lands)
         per_sample = eval_step(
             state, prepared["proj"], prepared["seg"], prepared.get("heats")
         )
-        losses.append(np.asarray(per_sample))
+        losses.append(np.asarray(per_sample)[:n_real])
     losses = np.concatenate(losses)
     std = float(losses.std(ddof=1)) if losses.size > 1 else 0.0
     return float(losses.mean()), std

@@ -244,3 +244,39 @@ class TestTensorParallelFit:
                 "--batch-size", "4", "--no-gpu",
                 "--spatial-devices", "2", "--tp-devices", "2",
             ])
+
+
+class TestShardedEvaluate:
+    def test_data_sharded_eval_parity(self, fixture_h5):
+        """On a single-host mesh with a 'data' axis, evaluate() shards each
+        batch over the axis (d-way faster validation) — per-sample losses
+        are row-local, so mean/std must be BIT-identical to the no-mesh
+        path, including the padded-and-masked uneven tail batch and on a
+        2-D data x spatial mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from deepfluoro_tpu.data.augment import AugmentConfig
+        from deepfluoro_tpu.data.hdf5 import load_dataset
+        from deepfluoro_tpu.train import make_train_state
+        from deepfluoro_tpu.train.loop import evaluate, make_eval_step
+
+        data = load_dataset(fixture_h5, [1, 2]).subset(np.arange(11))
+        cfg = small_cfg()
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (36, 36))
+        aug = AugmentConfig(num_classes=7, proj_pad_dim=36, prob_of_aug=0.0)
+        step = make_eval_step(cfg, model)
+        key = jax.random.PRNGKey(3)
+
+        m0, s0 = evaluate(step, state, data, aug, 4, key)
+        mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+        m1, s1 = evaluate(
+            step, jax.device_put(state, NamedSharding(mesh, P())),
+            data, aug, 4, key, mesh=mesh,
+        )
+        mesh2 = make_mesh({"data": 4, "spatial": 2})
+        m2, s2 = evaluate(
+            step, jax.device_put(state, NamedSharding(mesh2, P())),
+            data, aug, 4, key, mesh=mesh2,
+        )
+        assert m0 == m1 == m2
+        assert s0 == s1 == s2
