@@ -344,3 +344,52 @@ class TestLazyFluoroReader:
         with pytest.raises(AssertionError, match="out of range"):
             reader.take([len(reader)])
         reader.close()
+
+
+class TestPrefetchSequenceTeardown:
+    """prefetch_sequence's close path (the fix for the pod h5-handle race):
+    closing a partially-consumed generator must unblock a producer stuck in
+    the bounded queue's put and join the thread before returning."""
+
+    def test_close_unblocks_and_joins_producer(self):
+        import threading
+        import time
+
+        from deepfluoro_tpu.data.pipeline import prefetch_sequence
+
+        in_make = threading.Event()
+        made = []
+
+        def make_item(i):
+            made.append(i)
+            in_make.set()
+            return i
+
+        gen = prefetch_sequence(make_item, 100, prefetch=2)
+        assert next(gen) == 0
+        in_make.wait(5.0)
+        # producer is now ahead: queue full (2 items) + possibly blocked in
+        # put on the next. Closing must drain, unblock, and join it.
+        t0 = time.monotonic()
+        gen.close()
+        assert time.monotonic() - t0 < 10.0
+        # no further items are produced after close settles
+        n = len(made)
+        time.sleep(0.2)
+        assert len(made) == n
+        assert threading.active_count() < 20  # no producer leak build-up
+
+    def test_producer_error_surfaces(self):
+        from deepfluoro_tpu.data.pipeline import prefetch_sequence
+
+        def make_item(i):
+            if i == 2:
+                raise RuntimeError("boom")
+            return i
+
+        gen = prefetch_sequence(make_item, 5, prefetch=1)
+        got = []
+        with pytest.raises(RuntimeError, match="boom"):
+            for x in gen:
+                got.append(x)
+        assert got == [0, 1]
