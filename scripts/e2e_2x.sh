@@ -7,24 +7,27 @@
 # Reference capability: training is documented for any downsample level
 # (README.md:62-68); the 2x archive frames are 718^2, padded to 736.
 #
-# Usage: scripts/e2e_2x.sh <workdir> [epochs]
+# Usage: scripts/e2e_2x.sh <workdir> [epochs] [projs-per-specimen]
 {
 set -euo pipefail
 
-WORKDIR="${1:?usage: e2e_2x.sh <workdir> [epochs]}"
+WORKDIR="${1:?usage: e2e_2x.sh <workdir> [epochs] [projs-per-specimen]}"
 EPOCHS="${2:-4}"
+PROJS="${3:-16}"
 mkdir -p "$WORKDIR"
 cd "$WORKDIR"
 DATASET=ds2x.h5
 
 if [ ! -f "$DATASET" ]; then
-  echo "=== building synthetic 2x archive (3 specimens, 718^2) ==="
-  python - <<'EOF'
+  echo "=== building synthetic 2x archive (3 specimens x $PROJS projs, 718^2) ==="
+  python - "$PROJS" <<'EOF'
+import sys
+
 from deepfluoro_tpu.data.fixtures import write_synthetic_dataset
 
-# 3 specimens x 16 projs at 718^2 ~= 130 MB float32 projs — big enough to
-# exercise the streaming/remat path, small enough to build in seconds
-write_synthetic_dataset("ds2x.h5", num_specimens=3, num_projs=16, img_dim=718)
+# 718^2 frames; 16 projs (~130 MB float32) exercises the streaming/remat
+# path in minutes, 60+ gives the heat head enough data for a QUALITY run
+write_synthetic_dataset("ds2x.h5", num_specimens=3, num_projs=int(sys.argv[1]), img_dim=718)
 print("wrote ds2x.h5")
 EOF
 fi
