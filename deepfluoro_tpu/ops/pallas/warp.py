@@ -5,11 +5,14 @@ Why a custom kernel: the augmentation hot path is the affine warp
 lowers ``map_coordinates`` to elementwise gathers that the TPU executes
 poorly. This kernel reformulates the warp in vector-unit-friendly terms:
 
-  * the image (mirror-pre-padded by the caller) lives wholly in VMEM;
-  * the grid walks tiles of output rows; for each tile the kernel
+  * the image (mirror-pre-padded by the wrapper) lives wholly in VMEM
+    (with a per-kernel vmem limit sized for the big geometries); the grid
+    walks (row, column) tiles of the output, and for each tile the kernel
     dynamic-slices a static-height ROW BAND guaranteed to contain every
     input row the tile touches (band height derives from the augmentation
-    parameter ranges: |rot| <= 5deg, shear <= 1deg, scale in [0.9, 1.1]);
+    parameter ranges — |rot| <= 5deg, shear <= 1deg, scale in [0.9, 1.1] —
+    over the column-tile width, so the lerp temporaries stay O(w_pad *
+    tile_w) at any geometry);
   * horizontal interpolation is a ONE-HOT MATMUL on the MXU (band @ W_h,
     where W_h carries the two-tap lerp weights) — lane-gathers in Mosaic
     cannot span multiple 128-lane vregs, but the systolic array computes
@@ -32,20 +35,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Tile of output rows per grid step; band height covers the tile's entire
-# preimage: TILE * max|m11| + max|m10| * W + filter support + slack.
+# preimage: TILE * max|m11| + max|m10| * TILE_W + filter support + slack.
 _TILE = 8
 
+# Tile of output COLUMNS per grid step. The kernel's internal temporaries
+# (the one-hot lerp weights and the column iota) have shape
+# (w_pad, tile_w): without column tiling they scale with the FULL output
+# width and blow the ~16 MB scoped-VMEM stack at big geometries (measured:
+# 30.5 MB scoped at the full-res 1436->1440 training warp, w_pad 1948 —
+# remote-compile OOM). 256 lanes = 2 vregs keeps them a few hundred KB at
+# every production geometry while the row band shrinks too (its height is
+# driven by the x-extent the tile spans).
+_TILE_W = 256
 
-def _band_height(out_w: int) -> int:
+
+def _band_height(tile_w: int) -> int:
     # max |dy/dx| over the augmentation ranges: sin(5deg)*1.1 + tan(1deg) ~ 0.113;
     # +8 because the band start is rounded down to a sublane multiple
-    band = int(np.ceil(_TILE * 1.12 + 0.115 * out_w + 4)) + 8
+    band = int(np.ceil(_TILE * 1.12 + 0.115 * tile_w + 4)) + 8
     return int(np.ceil(band / 8.0) * 8)  # sublane-aligned
 
 
-def _warp_kernel(order: int, band: int, mat_ref, img_ref, out_ref):
+def _warp_kernel(order: int, band: int, out_hw: tuple[int, int], mat_ref, img_ref, out_ref):
     h_pad = img_ref.shape[0]
-    out_w = out_ref.shape[1]
+    out_w = out_ref.shape[1]  # = tile_w
+    oh_real, ow_real = out_hw
 
     m00 = mat_ref[0, 0]
     m01 = mat_ref[0, 1]
@@ -54,14 +68,23 @@ def _warp_kernel(order: int, band: int, mat_ref, img_ref, out_ref):
     m11 = mat_ref[0, 4]
     m12 = mat_ref[0, 5]
 
-    tile_idx = pl.program_id(0)
-    y0 = tile_idx * _TILE
+    y0 = pl.program_id(0) * _TILE
+    x0 = pl.program_id(1) * out_w
 
-    # Mosaic's iota is integer-only; cast afterwards
-    xs = jax.lax.broadcasted_iota(jnp.int32, (_TILE, out_w), 1).astype(jnp.float32) + 0.5
+    # Mosaic's iota is integer-only; cast afterwards. Grid-padding garbage
+    # coordinates (rows past oh_real, columns past ow_real — their outputs
+    # are sliced away by the caller) are CLAMPED to the last real
+    # row/column: the apron and band guarantees are derived from the real
+    # output extent, and unclamped garbage coordinates would reach beyond
+    # them (shifting the band start or sampling clamped border pixels).
+    xs = jax.lax.broadcasted_iota(jnp.int32, (_TILE, out_w), 1).astype(jnp.float32) + (
+        x0.astype(jnp.float32) + 0.5
+    )
+    xs = jnp.minimum(xs, ow_real - 0.5)
     ys = jax.lax.broadcasted_iota(jnp.int32, (_TILE, out_w), 0).astype(jnp.float32) + (
         y0.astype(jnp.float32) + 0.5
     )
+    ys = jnp.minimum(ys, oh_real - 0.5)
 
     in_x = m00 * xs + m01 * ys + m02 - 0.5
     in_y = m10 * xs + m11 * ys + m12 - 0.5
@@ -212,21 +235,24 @@ def _required_apron(in_hw, out_hw, out_offset_xy, band: int) -> int:
         p_int += 8
 
 
-def _envelope_ok(mat, band: int, ow: int, oh_padded: int, h_pad: int, w_pad: int):
+def _envelope_ok(mat, band: int, tile_w: int, out_hw, h_pad: int, w_pad: int):
     """Traced predicate: does the folded matrix stay inside the kernel's
     correctness envelope?  Exactness needs (a) every tile's input-row span to
     fit the static band (incl. the floor(-1) start, the <=7px sublane
     round-down, and the 2-tap filter) and (b) the whole preimage to stay
     inside the mirror-padded frame (the kernel clamps, which would silently
-    repeat border pixels).  Affine extremes live at the output corners."""
+    repeat border pixels).  Affine extremes live at the output corners
+    (grid-padding garbage coordinates are clamped to the real extent inside
+    the kernel, so the REAL corners are the extremes)."""
+    oh, ow = out_hw
     m00, m01, m02 = mat[0, 0], mat[0, 1], mat[0, 2]
     m10, m11, m12 = mat[0, 3], mat[0, 4], mat[0, 5]
     cx = jnp.array([0.5, ow - 0.5], jnp.float32)
-    cy = jnp.array([0.5, oh_padded - 0.5], jnp.float32)
+    cy = jnp.array([0.5, oh - 0.5], jnp.float32)
     xg, yg = jnp.meshgrid(cx, cy)
     in_x = m00 * xg + m01 * yg + m02 - 0.5
     in_y = m10 * xg + m11 * yg + m12 - 0.5
-    span = jnp.abs(m10) * (ow - 1) + jnp.abs(m11) * (_TILE - 1)
+    span = jnp.abs(m10) * (tile_w - 1) + jnp.abs(m11) * (_TILE - 1)
     # Bottom bound: after the clamp to h_pad-band the start is ALSO rounded
     # down to a sublane multiple, so the deepest accessible row is
     # ((h_pad-band)//8)*8 + band - 1, not h_pad - 1 — when (h_pad-band)%8 != 0
@@ -281,6 +307,7 @@ def affine_warp_pallas(
     (CPU-testable)."""
     h, w = img.shape
     oh, ow = (h, w) if out_shape is None else out_shape
+    tile_w = ow if ow <= _TILE_W else _TILE_W
     if pad is None:
         # exact for the augmentation parameter box at THIS geometry (the
         # heuristic under-sizes when the input is smaller than the output
@@ -288,7 +315,7 @@ def affine_warp_pallas(
         # matrices range wider than the box
         pad = max(
             _default_apron(max(oh, ow)),
-            _required_apron((h, w), (oh, ow), out_offset_xy, _band_height(ow)),
+            _required_apron((h, w), (oh, ow), out_offset_xy, _band_height(tile_w)),
         )
 
     # mirror-pad once so the kernel needs no boundary logic
@@ -314,25 +341,46 @@ def affine_warp_pallas(
         jnp.float32,
     )
 
-    band = _band_height(ow)
+    band = _band_height(tile_w)
     oh_tiles = -(-oh // _TILE)
     oh_padded = oh_tiles * _TILE
+    ow_tiles = -(-ow // tile_w)
+    ow_padded = ow_tiles * tile_w
 
     def run_kernel():
+        # Mosaic's default ~16 MB scoped-VMEM limit rejects the whole-image
+        # operand at big geometries (the pipeline double-buffers it across
+        # the vmap/batch grid dim: measured 30.5 MB at the full-res
+        # 1436->1440 training warp, w_pad 1948 — remote-compile OOM).
+        # Moving the image to memory_space=ANY + per-tile band DMAs is not
+        # an option (Mosaic only lowers trivially-indexed ANY blocks, which
+        # vmap's added batch index breaks), so raise the per-kernel limit to
+        # what the operand pipeline + the column-tile temporaries need.
+        # v5e has 128 MB of VMEM; the largest production geometry needs
+        # ~40 MB, and the limit is a CAP, not a reservation.
+        hp_t = -(-img_pad.shape[0] // 8) * 8
+        wp_t = -(-img_pad.shape[1] // 128) * 128
+        vmem_limit = max(
+            32 * 1024 * 1024,
+            2 * hp_t * wp_t * 4 + 4 * wp_t * tile_w * 4 + 8 * 1024 * 1024,
+        )
         out = pl.pallas_call(
-            partial(_warp_kernel, order, band),
-            grid=(oh_tiles,),
-            out_shape=jax.ShapeDtypeStruct((oh_padded, ow), jnp.float32),
+            partial(_warp_kernel, order, band, (oh, ow)),
+            grid=(oh_tiles, ow_tiles),
+            out_shape=jax.ShapeDtypeStruct((oh_padded, ow_padded), jnp.float32),
             in_specs=[
-                pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (_TILE, ow), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (_TILE, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=min(vmem_limit, 100 * 1024 * 1024)
             ),
             interpret=interpret,
         )(mat, img_pad.astype(jnp.float32))
-        return out[:oh]
+        return out[:oh, :ow]
 
     if not guarded:
         return run_kernel()
@@ -349,5 +397,5 @@ def affine_warp_pallas(
             mode="mirror",
         )
 
-    ok = _envelope_ok(mat, band, ow, oh_padded, img_pad.shape[0], img_pad.shape[1])
+    ok = _envelope_ok(mat, band, tile_w, (oh, ow), img_pad.shape[0], img_pad.shape[1])
     return jax.lax.cond(ok, run_kernel, run_fallback)

@@ -110,6 +110,39 @@ class TestEnvelopeGuard:
         assert not np.allclose(raw, want, atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    "orig,out_dim",
+    [
+        (360, 360),   # 2 column tiles, 104 clamped garbage columns
+        (300, 320),   # padded-up output frame AND partial final column tile
+    ],
+)
+def test_column_tiled_geometry_matches_xla(rng, orig, out_dim):
+    """Geometries wider than _TILE_W run the column-tiled grid (added when
+    the full-res 1436->1440 training warp blew the 16 MB scoped-VMEM stack:
+    the one-hot lerp temporaries scaled with the FULL output width). The
+    clamped garbage coordinates of the grid-padding columns must not shift
+    the band start or the apron reach for the real columns."""
+    from deepfluoro_tpu.ops.image import calc_pad_amount
+
+    assert out_dim > W._TILE_W and out_dim % W._TILE_W != 0
+    extra = calc_pad_amount(out_dim, orig) if out_dim > orig else 0
+    img = jnp.asarray(rng.random((orig, orig)), jnp.float32)
+    # extreme-but-legal augmentation draw (the unguarded production contract)
+    m = inverse_affine_matrix(
+        (orig / 2.0, orig / 2.0), -5.0, (-20.0, 20.0), 0.9, (-1.0, 1.0)
+    )
+    want = np.asarray(jax.jit(partial(
+        affine_warp, order=1, mode="mirror",
+        out_shape=(out_dim, out_dim), out_offset_xy=(-extra, -extra),
+    ))(img, m))
+    got = np.asarray(W.affine_warp_pallas(
+        img, m, order=1, out_shape=(out_dim, out_dim),
+        out_offset_xy=(-extra, -extra), guarded=False, interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
 def test_band_height_covers_ranges():
     # the static band must cover the worst-case preimage span of a tile for
     # the documented augmentation ranges
@@ -140,7 +173,7 @@ def test_unguarded_aug_envelope_covers_production_geometries():
         # both production calls: the image warp (padded-up output frame,
         # negative offsets) and the seg warp (same-size output)
         for ow, off in ((orig + 2 * extra, -extra), (orig, 0)):
-            band = W._band_height(ow)
+            band = W._band_height(min(ow, W._TILE_W))
             pad = max(
                 W._default_apron(ow),
                 W._required_apron((orig, orig), (ow, ow), (off, off), band),
