@@ -189,17 +189,23 @@ def full_res_to_preprocessed(
 
 
 def make_sharded_fullres_infer(
-    model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int], mesh
+    model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int], mesh,
+    apply_fn=None,
 ):
     """Spatially-sharded fused full-res inference: the (B, H_full, W_full)
     frames are sharded over 'data' (batch) and 'spatial' (H) mesh axes; the
     GSPMD partitioner emits the convolution halo exchanges over ICI
     (SURVEY.md §2.3's spatial-parallel analogue at the 1436^2 scale, where
-    per-chip HBM and FLOPs favor splitting the frame)."""
+    per-chip HBM and FLOPs favor splitting the frame). ``apply_fn``
+    overrides the float forward exactly as in
+    :func:`make_fused_fullres_infer` (int8 composes: the w8a8 convs
+    partition like the float ones)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    infer = make_fused_fullres_infer(model, variables, ds_factor, pad_dim, full_hw)
+    infer = make_fused_fullres_infer(
+        model, variables, ds_factor, pad_dim, full_hw, apply_fn=apply_fn
+    )
 
     data = "data" if "data" in mesh.axis_names else None
     spatial = "spatial" if "spatial" in mesh.axis_names else None
@@ -222,14 +228,17 @@ def make_sharded_fullres_infer(
     return jit_infer, place
 
 
-def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int]):
-    """One compiled program: full-res frames -> crop/log/rot/downsample ->
-    reflect-pad + z-norm -> U-Net -> argmax (+heats). BASELINE config 5.
+def make_fullres_prep(ds_factor: int, pad_dim: int, full_hw: tuple[int, int]):
+    """The device-side prep half of the fused full-res program: crop 50 px
+    borders -> Beer-Lambert log -> conditional rot-180 -> downsample ->
+    reflect-pad to ``pad_dim`` -> z-norm (ddof=1, the training contract).
 
-    Returns jitted fn(projs (B, H_full, W_full), rot_flags (B,)) ->
-    (labels (B, h, w) uint8, heats (B, h, w, L) | None).
-    """
-    from deepfluoro_tpu.ops.image import calc_pad_amount, center_crop, znorm
+    Returns (prep, (hc, wc)): ``prep(projs (B, H_full, W_full), rot_flags
+    (B,)) -> (B, pad, pad, 1)`` ready for the U-Net, plus the pre-pad crop
+    size the network outputs are center-cropped back to. Shared by the
+    float and int8 fused-inference constructors (int8 calibration must see
+    EXACTLY the tensors the quantized forward will consume)."""
+    from deepfluoro_tpu.ops.image import calc_pad_amount, znorm
 
     h, w = full_hw
     hc = (h - 2 * BORDER_CROP_PX) // ds_factor
@@ -237,20 +246,43 @@ def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, ful
     assert hc == wc, "square frames expected"
     extra = calc_pad_amount(pad_dim, hc) if pad_dim > hc else 0
 
+    def prep_one(img, rot):
+        x = img[BORDER_CROP_PX : h - BORDER_CROP_PX, BORDER_CROP_PX : w - BORDER_CROP_PX]
+        x = beer_lambert_log(x)
+        x = jnp.where(rot, x[::-1, ::-1], x)
+        x = jax.image.resize(x, (hc, wc), method="linear")
+        if extra > 0:
+            x = jnp.pad(x, ((extra, extra), (extra, extra)), mode="reflect")
+        x = znorm(x)  # ddof=1, matching the training pipeline exactly
+        return x[..., None]
+
+    return jax.vmap(prep_one), (hc, wc)
+
+
+def make_fused_fullres_infer(
+    model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int],
+    apply_fn=None,
+):
+    """One compiled program: full-res frames -> crop/log/rot/downsample ->
+    reflect-pad + z-norm -> U-Net -> argmax (+heats). BASELINE config 5.
+
+    Returns jitted fn(projs (B, H_full, W_full), rot_flags (B,)) ->
+    (labels (B, h, w) uint8, heats (B, h, w, L) | None).
+
+    ``apply_fn(x) -> seg | (seg, heats)`` overrides the float forward
+    (``model.apply``); :func:`make_quantized_fullres_infer` passes the int8
+    engine through it.
+    """
+    from deepfluoro_tpu.ops.image import center_crop
+
+    prep, (hc, wc) = make_fullres_prep(ds_factor, pad_dim, full_hw)
+    if apply_fn is None:
+        apply_fn = lambda x: model.apply(variables, x, train=False)
+
     @jax.jit
     def infer(projs, rot_flags):
-        def prep_one(img, rot):
-            x = img[BORDER_CROP_PX : h - BORDER_CROP_PX, BORDER_CROP_PX : w - BORDER_CROP_PX]
-            x = beer_lambert_log(x)
-            x = jnp.where(rot, x[::-1, ::-1], x)
-            x = jax.image.resize(x, (hc, wc), method="linear")
-            if extra > 0:
-                x = jnp.pad(x, ((extra, extra), (extra, extra)), mode="reflect")
-            x = znorm(x)  # ddof=1, matching the training pipeline exactly
-            return x[..., None]
-
-        x = jax.vmap(prep_one)(projs, rot_flags)
-        out = model.apply(variables, x, train=False)
+        x = prep(projs, rot_flags)
+        out = apply_fn(x)
         if isinstance(out, tuple):
             seg, heats = out
         else:
@@ -262,3 +294,44 @@ def make_fused_fullres_infer(model, variables, ds_factor: int, pad_dim: int, ful
         return labels, heats
 
     return infer
+
+
+def make_quantized_fullres_infer(
+    model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int],
+    calib_projs, calib_rot_flags, mesh=None,
+):
+    """int8 variant of :func:`make_fused_fullres_infer` (the deployment
+    path measured 1.22x at the 8x geometry, BASELINE.md): activation scales
+    are calibrated on ``calib_projs`` run through the SAME fused prep the
+    inference program uses, weights are per-tensor symmetric-quantized, and
+    the returned program is identical to the float one except the U-Net
+    convs run w8a8 on the MXU (infer/quantized.py).
+
+    ``calib_projs``: (B, H_full, W_full) raw frames (>=1); ``calib_rot_flags``
+    their rot-180 flags. Same return contract as the float constructors:
+    the fused program, or ``(jit_infer, place)`` when ``mesh`` is given
+    (:func:`make_sharded_fullres_infer`).
+    """
+    from deepfluoro_tpu.infer.quantized import (
+        calibrate, quantize_weights, quantized_apply,
+    )
+
+    calib_projs = jnp.asarray(calib_projs)
+    if calib_projs.ndim != 3 or calib_projs.shape[0] < 1:
+        raise ValueError(
+            "int8 calibration needs at least one (B, H, W) raw frame; got "
+            "shape {}".format(calib_projs.shape)
+        )
+    prep, _ = make_fullres_prep(ds_factor, pad_dim, full_hw)
+    calib_x = jax.jit(prep)(calib_projs, jnp.asarray(calib_rot_flags))
+    scales = calibrate(model, variables, [calib_x])
+    qweights = quantize_weights(model, variables)
+    apply_fn = lambda x: quantized_apply(model, qweights, variables, scales, x)
+
+    if mesh is not None:
+        return make_sharded_fullres_infer(
+            model, variables, ds_factor, pad_dim, full_hw, mesh, apply_fn=apply_fn
+        )
+    return make_fused_fullres_infer(
+        model, variables, ds_factor, pad_dim, full_hw, apply_fn=apply_fn
+    )

@@ -146,6 +146,38 @@ class TestShardedFullRes:
         np.testing.assert_array_equal(np.asarray(labels1), np.asarray(labelsN))
         np.testing.assert_allclose(np.asarray(heats1), np.asarray(heatsN), atol=1e-5)
 
+    def test_quantized_sharded_matches_unsharded(self, rng):
+        """int8 composes with the data x spatial mesh: the sharded w8a8
+        program must reproduce the single-device quantized one (the halo
+        exchanges partition the quantized convs like the float ones)."""
+        from deepfluoro_tpu.data.preprocess import make_quantized_fullres_infer
+        from deepfluoro_tpu.parallel import make_mesh
+
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+            no_max_pool=True, num_lands=4, proj_unet_dim=28,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (28, 28))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        projs = np.asarray(rng.random((2, 148, 148)), np.float32) + 0.1
+        rots = np.array([True, False])
+
+        infer1 = make_quantized_fullres_infer(
+            model, variables, 2, 28, (148, 148), projs, rots
+        )
+        labels1, heats1 = infer1(jnp.asarray(projs), jnp.asarray(rots))
+
+        mesh = make_mesh({"data": 2, "spatial": 4})
+        inferN, place = make_quantized_fullres_infer(
+            model, variables, 2, 28, (148, 148), projs, rots, mesh=mesh
+        )
+        pN, rN = place(projs, rots)
+        labelsN, heatsN = inferN(pN, rN)
+
+        np.testing.assert_array_equal(np.asarray(labels1), np.asarray(labelsN))
+        np.testing.assert_allclose(np.asarray(heats1), np.asarray(heatsN), atol=1e-5)
+
 
 class TestFusedFullRes:
     def test_end_to_end_shapes_and_match(self, tmp_path):
@@ -172,6 +204,49 @@ class TestFusedFullRes:
         assert heats.shape == (2, 24, 24, 14)
         assert np.isfinite(np.asarray(heats)).all()
         assert set(np.unique(np.asarray(labels))) <= set(range(7))
+
+    def test_quantized_matches_float(self, tmp_path):
+        """make_quantized_fullres_infer keeps the float program's contract:
+        same shapes/dtypes, argmax labels in high agreement (int8 quality
+        bound on trained nets: Dice delta -1e-5, BASELINE.md), finite
+        heats. Calibration runs the raw calib frames through the SAME
+        fused prep the inference program applies."""
+        from deepfluoro_tpu.data.preprocess import make_quantized_fullres_infer
+
+        fr = write_synthetic_fullres_dataset(
+            str(tmp_path / "fr.h5"), num_specimens=1, num_projs=2, img_dim=148
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+            no_max_pool=True, num_lands=14, proj_unet_dim=28,
+        )
+        model, state = make_train_state(cfg, jax.random.PRNGKey(0), (28, 28))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        with h5.File(fr, "r") as f:
+            pg = f["17-1882/projections"]
+            projs = np.stack([pg["000/image/pixels"][:], pg["001/image/pixels"][:]]).astype(np.float32)
+            rots = np.array([bool(pg["000/rot-180-for-up"][()]), bool(pg["001/rot-180-for-up"][()])])
+
+        fl = make_fused_fullres_infer(model, variables, 2, 28, (148, 148))
+        labels_f, heats_f = fl(jnp.asarray(projs), jnp.asarray(rots))
+
+        qi = make_quantized_fullres_infer(
+            model, variables, 2, 28, (148, 148), projs, rots
+        )
+        labels_q, heats_q = qi(jnp.asarray(projs), jnp.asarray(rots))
+
+        assert labels_q.shape == labels_f.shape and labels_q.dtype == jnp.uint8
+        assert heats_q.shape == heats_f.shape
+        assert np.isfinite(np.asarray(heats_q)).all()
+        agree = float(np.mean(np.asarray(labels_q) == np.asarray(labels_f)))
+        assert agree > 0.9, "int8 argmax agreement {:.3f}".format(agree)
+
+        with pytest.raises(ValueError, match="calibration"):
+            make_quantized_fullres_infer(
+                model, variables, 2, 28, (148, 148),
+                np.zeros((0, 148, 148), np.float32), np.zeros((0,), bool),
+            )
 
 
 class TestMapOverNets:
