@@ -5,11 +5,13 @@ from deepfluoro_tpu.infer.ensemble import (
     stack_variables,
     test_dataset_ensemble,
 )
+from deepfluoro_tpu.infer.fullres import seg_fullres_dataset
 
 __all__ = [
     "load_net_from_checkpoint",
     "stack_variables",
     "seg_dataset",
     "seg_dataset_ensemble",
+    "seg_fullres_dataset",
     "test_dataset_ensemble",
 ]

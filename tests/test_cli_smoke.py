@@ -13,6 +13,7 @@ CLI_MODULES = [
     "overlay_est_ann",
     "overlay_est_heat",
     "preprocess_full_res",
+    "seg_fullres",
     "full_res_3d_viz",
     "export_torch_net",
 ]

@@ -373,3 +373,81 @@ class TestSegDatasetEnsembleMesh:
         out = str(tmp_path / "mixed_out.h5")
         with pytest.raises(ValueError, match="proj_unet_dim"):
             te_cli.main([h5p, out, "--pats", "1", "--nets", *paths, "--no-gpu"])
+
+
+class TestSegFullresCLI:
+    def test_fused_cli_matches_two_step_path(self, tmp_path):
+        """cli.seg_fullres (raw archive -> fused preprocess+ensemble ->
+        nn-segs/nn-heats) must reproduce the two-step workflow
+        (full_res_to_preprocessed -> seg_dataset_ensemble) exactly on
+        labels and closely on heats — both run crop/log/rot/downsample/
+        pad/znorm with the same math, one fused and one through an
+        intermediate archive. Also pins the land-names passthrough and the
+        padded final partial batch (5 projs, batch 2)."""
+        from deepfluoro_tpu.cli import seg_fullres as sf_cli
+        from deepfluoro_tpu.data.hdf5 import get_land_names_from_dataset, load_dataset
+        from deepfluoro_tpu.data.preprocess import full_res_to_preprocessed
+        from deepfluoro_tpu.infer import load_net_from_checkpoint, seg_dataset_ensemble
+        from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+        fr = write_synthetic_fullres_dataset(
+            str(tmp_path / "fr.h5"), num_specimens=1, num_projs=5, img_dim=148
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+            no_max_pool=True, num_lands=14, proj_unet_dim=28,
+        )
+        paths = []
+        for i in range(2):
+            _, state = make_train_state(cfg, jax.random.PRNGKey(i), (28, 28))
+            p = str(tmp_path / "net{}.pt".format(i))
+            save_checkpoint(
+                p, meta=cfg.to_checkpoint_meta(), epoch=1,
+                params=state.params, batch_stats=state.batch_stats,
+            )
+            paths.append(p)
+
+        out_fused = str(tmp_path / "fused.h5")
+        sf_cli.main([fr, out_fused, "--ds-factor", "2", "--nets", *paths,
+                     "--pats", "17-1882", "--batch-size", "2", "--no-gpu"])
+
+        pp = full_res_to_preprocessed(fr, str(tmp_path / "pp.h5"), 2)
+        data = load_dataset(pp, [1], no_seg=True)
+        out_two = str(tmp_path / "two.h5")
+        nets = [load_net_from_checkpoint(p, verbose=False)[:2] for p in paths]
+        with h5.File(out_two, "w") as f:
+            seg_dataset_ensemble(
+                data, nets, f, num_lands=14, batch_size=2, pad_img_dim=28,
+            )
+
+        with h5.File(out_fused, "r") as ff, h5.File(out_two, "r") as ft:
+            assert ff["nn-segs"].shape == ft["nn-segs"].shape == (5, 24, 24)
+            np.testing.assert_array_equal(ff["nn-segs"][:], ft["nn-segs"][:])
+            np.testing.assert_allclose(
+                ff["nn-heats"][:], ft["nn-heats"][:], atol=1e-4
+            )
+            names = get_land_names_from_dataset(out_fused)
+            assert len(names) == 14
+
+    def test_rejects_wrong_rung_nets(self, tmp_path):
+        """Nets trained at a smaller geometry than the requested rung must
+        be rejected loudly (proj_unet_dim < frame size)."""
+        from deepfluoro_tpu.cli import seg_fullres as sf_cli
+        from deepfluoro_tpu.train.checkpoint import save_checkpoint
+
+        fr = write_synthetic_fullres_dataset(
+            str(tmp_path / "fr.h5"), num_specimens=1, num_projs=1, img_dim=148
+        )
+        cfg = TrainConfig(
+            num_classes=7, depth=2, init_feats_exp=2, batch_norm=True, padding=True,
+            no_max_pool=True, num_lands=0, proj_unet_dim=28,
+        )
+        _, state = make_train_state(cfg, jax.random.PRNGKey(0), (28, 28))
+        p = str(tmp_path / "net.pt")
+        save_checkpoint(
+            p, meta=cfg.to_checkpoint_meta(), epoch=1,
+            params=state.params, batch_stats=state.batch_stats,
+        )
+        with pytest.raises(ValueError, match="proj_unet_dim"):
+            sf_cli.main([fr, str(tmp_path / "o.h5"), "--ds-factor", "1",
+                         "--nets", p, "--no-gpu"])
