@@ -20,14 +20,18 @@ import jax.numpy as jnp
 from deepfluoro_tpu.data.hdf5 import FluoroData
 
 
-def prefetch_sequence(make_item, num_items: int, prefetch: int = 2):
+def prefetch_sequence(
+    make_item, num_items: int, prefetch: int = 2, join_timeout: float = 10.0
+):
     """Producer-thread prefetch over ``make_item(i) for i in
     range(num_items)``: host work + (async) device_put inside ``make_item``
     for the next items overlap the consumer's compute, through a bounded
     queue (at most ``prefetch`` items live ahead). Producer errors re-raise
     on the consumer; breaking out of the generator stops and joins the
-    producer. Shared machinery of PrefetchIterator.epoch and the multifold
-    streaming path (train/multifold.py)."""
+    producer (bounded by ``join_timeout`` per join so a wedged make_item —
+    e.g. a hung tunnel device_put — cannot turn generator close into an
+    unbounded hang). Shared machinery of PrefetchIterator.epoch and the
+    multifold streaming path (train/multifold.py)."""
     import queue
     import threading
 
@@ -73,11 +77,26 @@ def prefetch_sequence(make_item, num_items: int, prefetch: int = 2):
         # bounded wait for a clean exit (an in-flight make_item finishes
         # first); a daemon thread that somehow outlives this cannot block
         # interpreter shutdown
-        t.join(timeout=10.0)
-        # drain so a blocked producer can observe the stop flag
-        while not q.empty():
-            q.get_nowait()
-        t.join()
+        t.join(timeout=join_timeout)
+        # a second drain catches the one orphan put that can land between
+        # the first drain and the producer observing stop
+        try:
+            while True:
+                q.get_nowait()
+        except _queue.Empty:
+            pass
+        t.join(timeout=join_timeout)
+        if t.is_alive():
+            # a wedged make_item (e.g. a hung tunnel device_put) must not
+            # turn generator close into an unbounded hang — warn and move
+            # on; the daemon thread cannot block interpreter shutdown
+            import warnings
+
+            warnings.warn(
+                "prefetch producer thread still alive after bounded join; "
+                "abandoning it (make_item appears wedged)",
+                RuntimeWarning,
+            )
 
 
 class PrefetchIterator:

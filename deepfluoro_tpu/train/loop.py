@@ -274,6 +274,21 @@ def fit(
                 "(X-l, X-r) pairs")
         n_pool = reader.n_base
         if cfg.train_valid_split >= 0:
+            # mirror split_train_valid's guards (the resident path) so a
+            # degenerate split fails HERE with the same clear message
+            # instead of as a rows-out-of-range error from reader.take
+            if not (0.0 < cfg.train_valid_split < 1.0):
+                raise ValueError(
+                    "train_valid_split={} must lie strictly in (0, 1)".format(
+                        cfg.train_valid_split
+                    )
+                )
+            if n_pool - int(math.ceil(cfg.train_valid_split * n_pool)) == 0:
+                raise ValueError(
+                    "train_valid_split={} leaves an empty validation set for "
+                    "{} samples; lower the split or provide explicit "
+                    "--valid-pats".format(cfg.train_valid_split, n_pool)
+                )
             if train_idx is None or valid_idx is None:
                 train_idx, valid_idx = split_indices(
                     n_pool, cfg.train_valid_split, cfg.seed
@@ -305,6 +320,24 @@ def fit(
     else:
         log("initializing training dataset")
         train_data = load_dataset(data_file_path, train_pats)
+        if multiproc:
+            # the resident pod feed replicates the UNION into every host —
+            # fine for the 42 MB 8x archive, 2.5 GB/host at full res
+            # (reference README.md:62-66). --stream-data is the per-host
+            # disjoint path (LazyFluoroReader serves each host only its
+            # slice of every global batch).
+            union_mb = train_data.projs.nbytes / 1e6
+            if train_data.segs is not None:
+                union_mb += train_data.segs.nbytes / 1e6
+            if jax.process_index() == 0:
+                # not log(): a footgun warning must survive verbose=False
+                print(
+                    "WARNING: multi-host RESIDENT feed — every one of the {} "
+                    "processes materializes the full {:.0f} MB training union "
+                    "in host RAM; pass --stream-data for per-host disjoint "
+                    "loading".format(jax.process_count(), union_mb),
+                    flush=True,
+                )
 
         def maybe_dup(data):
             # mirrors join the TRAINING side only, AFTER any split:

@@ -379,6 +379,36 @@ class TestPrefetchSequenceTeardown:
         assert len(made) == n
         assert threading.active_count() < 20  # no producer leak build-up
 
+    def test_wedged_producer_bounded_close(self):
+        """ADVICE r4: a make_item that never returns (hung tunnel
+        device_put) must not turn generator close into an unbounded hang —
+        the bounded join gives up and warns instead."""
+        import threading
+        import time
+        import warnings
+
+        from deepfluoro_tpu.data.pipeline import prefetch_sequence
+
+        release = threading.Event()
+        entered = threading.Event()
+
+        def make_item(i):
+            if i == 1:
+                entered.set()
+                release.wait(30.0)  # wedge until the test releases it
+            return i
+
+        gen = prefetch_sequence(make_item, 5, prefetch=1, join_timeout=0.2)
+        assert next(gen) == 0
+        assert entered.wait(5.0)
+        t0 = time.monotonic()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            gen.close()
+        assert time.monotonic() - t0 < 5.0
+        assert any("wedged" in str(w.message) for w in caught)
+        release.set()  # let the wedged thread die cleanly
+
     def test_producer_error_surfaces(self):
         from deepfluoro_tpu.data.pipeline import prefetch_sequence
 

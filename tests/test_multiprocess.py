@@ -234,6 +234,9 @@ def test_two_process_fit_streaming_disjoint_loading(tmp_path):
         assert int(vrows) == 4
         assert int(trows) == 12
         assert int(trows) < 16
+        # the streaming path is disjoint — the resident-feed replication
+        # warning must not fire here
+        assert "multi-host RESIDENT feed" not in out
 
     bvl0 = float(grab(outs[0], "FIT_BVL")[0][2])
     assert bvl0 == float(grab(outs[1], "FIT_BVL")[0][2])
@@ -491,6 +494,12 @@ def test_two_process_fit_end_to_end(tmp_path):
     sum0 = float(grab(outs[0], "FIT_SUM")[0][2])
     sum1 = float(grab(outs[1], "FIT_SUM")[0][2])
     assert sum0 == pytest.approx(sum1, rel=1e-7)
+
+    # VERDICT r4 #6: the resident pod feed replicates the union into every
+    # host — process 0 must announce it and point at --stream-data (even
+    # under verbose=False; it is a footgun warning, not a progress line)
+    assert "multi-host RESIDENT feed" in outs[0]
+    assert "--stream-data" in outs[0]
 
     # single-writer artifacts exist exactly once (written by process 0)
     assert os.path.exists(tmp_path / "fit_mh_ck.pt")
