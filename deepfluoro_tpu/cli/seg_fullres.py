@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--times", help="write per-image inference seconds to this file", type=str, default="")
     parser.add_argument("--batch-size", help="frames per fused inference batch", type=int, default=4)
     parser.add_argument("--int8", help="post-training int8 quantized inference (worth it only at the 8x rung — BASELINE.md)", action="store_true")
+    parser.add_argument("--int8-float-levels", help="hybrid mode: keep the finest N U-Net levels in float, quantize only the deeper MXU-bound levels", type=int, default=0)
     parser.add_argument("--profile-dir", help="write a jax.profiler trace to this directory", type=str, default="")
     return parser
 
@@ -105,6 +106,7 @@ def main(argv=None):
                 batch_size=args.batch_size,
                 pad_img_dim=cfg.proj_unet_dim,
                 quantized=args.int8,
+                int8_float_levels=args.int8_float_levels,
             )
         f.flush()
 

@@ -40,6 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", help="Write a jax.profiler trace (TensorBoard-loadable) to this directory", type=str, default="")
     parser.add_argument("--int8", help="post-training int8 quantized inference: every conv runs s8 x s8 -> s32 on the MXU with activation scales calibrated on the first batches of the input data (framework extension; the reference infers in float32)", action="store_true")
     parser.add_argument("--int8-calib-batches", help="number of leading input batches used to calibrate the int8 activation scales", type=int, default=4)
+    parser.add_argument("--int8-float-levels", help="hybrid mode: keep the finest N U-Net levels in float and quantize only the deeper MXU-bound levels (the big-frame rungs lose on the early levels' s32 accumulator traffic — BASELINE.md int8 ladder row)", type=int, default=0)
     return parser
 
 
@@ -120,6 +121,7 @@ def main(argv=None):
                 mesh=mesh,
                 quantized=args.int8,
                 calib_batches=args.int8_calib_batches,
+                int8_float_levels=args.int8_float_levels,
             )
         print("closing file...")
         f.flush()

@@ -298,7 +298,7 @@ def make_fused_fullres_infer(
 
 def make_quantized_fullres_infer(
     model, variables, ds_factor: int, pad_dim: int, full_hw: tuple[int, int],
-    calib_projs, calib_rot_flags, mesh=None,
+    calib_projs, calib_rot_flags, mesh=None, float_levels: int = 0,
 ):
     """int8 variant of :func:`make_fused_fullres_infer` (the deployment
     path measured 1.22x at the 8x geometry, BASELINE.md): activation scales
@@ -313,7 +313,7 @@ def make_quantized_fullres_infer(
     (:func:`make_sharded_fullres_infer`).
     """
     from deepfluoro_tpu.infer.quantized import (
-        calibrate, quantize_weights, quantized_apply,
+        calibrate, make_level_filter, quantize_weights, quantized_apply,
     )
 
     calib_projs = jnp.asarray(calib_projs)
@@ -326,7 +326,10 @@ def make_quantized_fullres_infer(
     calib_x = jax.jit(prep)(calib_projs, jnp.asarray(calib_rot_flags))
     scales = calibrate(model, variables, [calib_x])
     qweights = quantize_weights(model, variables)
-    apply_fn = lambda x: quantized_apply(model, qweights, variables, scales, x)
+    int8_points = make_level_filter(float_levels, model.depth)
+    apply_fn = lambda x: quantized_apply(
+        model, qweights, variables, scales, x, int8_points=int8_points
+    )
 
     if mesh is not None:
         return make_sharded_fullres_infer(

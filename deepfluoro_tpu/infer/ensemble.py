@@ -253,6 +253,7 @@ def seg_dataset_ensemble(
     mesh=None,
     quantized: bool = False,
     calib_batches: int = 4,
+    int8_float_levels: int = 0,
 ):
     """Run the ensemble over a dataset and write ``nn-segs`` / ``nn-heats``
     (reference util.py:293-377; file contract incl. dtype/chunks/gzip-9).
@@ -353,14 +354,17 @@ def seg_dataset_ensemble(
             )
         stacked = prepare_quantized_ensemble(models_and_vars, calib)
         if mesh is None:
-            fwd = make_quantized_ensemble_forward(model, num_lands, orig_hw)
+            fwd = make_quantized_ensemble_forward(
+                model, num_lands, orig_hw, float_levels=int8_float_levels
+            )
         else:
             from deepfluoro_tpu.parallel.sharding import (
                 make_sharded_quantized_ensemble_forward,
             )
 
             fwd, place_stacked = make_sharded_quantized_ensemble_forward(
-                model, num_lands, orig_hw, mesh
+                model, num_lands, orig_hw, mesh,
+                float_levels=int8_float_levels,
             )
             stacked = place_stacked(stacked)
     elif mesh is None:
@@ -437,6 +441,7 @@ def seg_dataset(
     num_classes: int = 7,
     quantized: bool = False,
     calib_batches: int = 4,
+    int8_float_levels: int = 0,
 ):
     """Single-network variant (reference util.py:243-291) — an ensemble of
     one; same nn-segs/nn-heats output contract. NOTE: the single-net
@@ -454,6 +459,7 @@ def seg_dataset(
         num_classes=num_classes,
         quantized=quantized,
         calib_batches=calib_batches,
+        int8_float_levels=int8_float_levels,
     )
 
 

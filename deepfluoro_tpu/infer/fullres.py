@@ -73,6 +73,7 @@ def seg_fullres_dataset(
     batch_size: int = 4,
     pad_img_dim: int = 0,
     quantized: bool = False,
+    int8_float_levels: int = 0,
 ):
     """Run the ensemble over raw full-res frames and write nn-segs/nn-heats.
 
@@ -125,7 +126,9 @@ def seg_fullres_dataset(
         calib_p, calib_r = read_batch(0, batch_size)
         calib_x = jax.jit(prep)(jnp.asarray(calib_p), jnp.asarray(calib_r))
         stacked = prepare_quantized_ensemble(models_and_vars, [calib_x])
-        net_fwd = make_quantized_ensemble_forward(model, num_lands, orig_hw)
+        net_fwd = make_quantized_ensemble_forward(
+            model, num_lands, orig_hw, float_levels=int8_float_levels
+        )
     else:
         stacked = stack_variables([v for _, v in models_and_vars])
         net_fwd = make_ensemble_forward(model, num_lands, orig_hw)

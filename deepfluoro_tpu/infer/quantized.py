@@ -81,7 +81,10 @@ class _Engine:
     residual 1x1) is quantized once and reused.
     """
 
-    def __init__(self, model, variables, mode, scales=None, qweights=None):
+    def __init__(
+        self, model, variables, mode, scales=None, qweights=None,
+        int8_points=None,
+    ):
         self.model = model
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
@@ -91,6 +94,14 @@ class _Engine:
         self.qweights = qweights or {}
         self.stats: dict[str, Any] = {}
         self.dtype = model.dtype
+        # optional predicate key -> bool selecting which quantization
+        # points actually run int8 (None = all of them). A point that opts
+        # out passes the float tensor through and its conv takes the float
+        # path — the mechanism behind the hybrid per-level mode (the
+        # early levels' big-frame activations make the s8 conv's s32
+        # accumulator traffic a net LOSS at the 2x/4x rungs, BASELINE.md
+        # int8 ladder row)
+        self.int8_points = int8_points
 
     # -- parameter access -------------------------------------------------
     def _leaf(self, tree, path):
@@ -107,6 +118,8 @@ class _Engine:
             self.stats[key] = jnp.max(jnp.abs(x)).astype(jnp.float32)
             return x
         if self.mode == "quantized":
+            if self.int8_points is not None and not self.int8_points(key):
+                return x  # float pass-through: conv() takes the float path
             scale = self.scales[key]
             return (_quant_tensor(x, scale), scale)
         return x
@@ -126,8 +139,11 @@ class _Engine:
 
     def conv(self, wpath, xrep, strides=(1, 1), padding="VALID", use_bias=True):
         """Conv mirroring flax.linen.Conv (kernel (kh,kw,I,O), optional
-        bias) on either the float or the int8 path."""
-        if self.mode == "quantized":
+        bias) on either the float or the int8 path (an (int8, scale) tuple
+        representation selects int8; a plain tensor — including a
+        quantized-mode point that opted out via ``int8_points`` — runs the
+        float conv from the full-precision kernels still in ``params``)."""
+        if self.mode == "quantized" and isinstance(xrep, tuple):
             xq, xscale = xrep
             kq, wscale = self.qweights[wpath]
             if isinstance(padding, str) and padding == "CIRCULAR":
@@ -162,7 +178,7 @@ class _Engine:
 
     def conv_transpose(self, wpath, xrep):
         """ConvTranspose 2x2 stride 2 mirroring flax.linen.ConvTranspose."""
-        if self.mode == "quantized":
+        if self.mode == "quantized" and isinstance(xrep, tuple):
             xq, xscale = xrep
             kq, wscale = self.qweights[wpath]
             y = jax.lax.conv_transpose(
@@ -307,6 +323,35 @@ class _Engine:
 # -- public API ---------------------------------------------------------------
 
 
+def make_level_filter(float_levels: int, depth: int):
+    """``int8_points`` predicate keeping the FINEST ``float_levels`` U-Net
+    levels in float — the hybrid mode for the big-frame rungs, where the
+    early levels' activations are so large that the s8 conv's s32
+    accumulator write+read (4 B/elem vs the bf16 conv's 2 B) swamps the MXU
+    savings (BASELINE.md int8 ladder row: 0.49x/0.60x at 2x/4x). Level ℓ
+    halves H,W and doubles channels, so only the deep MXU-bound levels keep
+    int8. Returns None (= quantize everything) for ``float_levels <= 0``.
+
+    Point-name -> level mapping mirrors _Engine.forward's key scheme:
+    ``down_i``/``downsample_i`` run at level i, ``up_j`` produces level
+    depth-2-j, and the seg/landmark heads run at the finest level 0.
+    """
+    if float_levels <= 0:
+        return None
+
+    def level_of(key: str) -> int:
+        head = key.split("/", 1)[0]
+        if head.startswith("downsample_"):
+            return int(head[len("downsample_"):])
+        if head.startswith("down_"):
+            return int(head[len("down_"):])
+        if head.startswith("up_"):
+            return depth - 2 - int(head[len("up_"):])
+        return 0  # seg head / lands head operate at the finest level
+
+    return lambda key: level_of(key) >= float_levels
+
+
 def float_apply(model, variables, x):
     """Pure-float replay of the traversal — must match
     ``model.apply(variables, x, train=False)`` exactly (pinned by
@@ -360,21 +405,25 @@ def quantize_weights(model, variables):
     return qweights
 
 
-def quantized_apply(model, qweights, variables, scales, x):
+def quantized_apply(model, qweights, variables, scales, x, int8_points=None):
     """int8 inference forward. ``variables`` supplies the float leftovers
     (biases, BatchNorm); ``scales`` comes from :func:`calibrate`;
-    ``qweights`` from :func:`quantize_weights`."""
+    ``qweights`` from :func:`quantize_weights`; ``int8_points`` optionally
+    restricts which points quantize (:func:`make_level_filter`)."""
     return _Engine(
-        model, variables, "quantized", scales=scales, qweights=qweights
+        model, variables, "quantized", scales=scales, qweights=qweights,
+        int8_points=int8_points,
     ).forward(x)
 
 
-def quantized_member_apply(model, member, proj):
+def quantized_member_apply(model, member, proj, int8_points=None):
     """Forward one stacked-axis slice of a quantized ensemble tree: a
     (variables, qweights, scales) triple as produced (and K-stacked) by
     :func:`prepare_quantized_ensemble`."""
     variables, qweights, scales = member
-    return quantized_apply(model, qweights, variables, scales, proj)
+    return quantized_apply(
+        model, qweights, variables, scales, proj, int8_points=int8_points
+    )
 
 
 def prepare_quantized_ensemble(models_and_vars, calib_inputs):
@@ -398,7 +447,7 @@ def prepare_quantized_ensemble(models_and_vars, calib_inputs):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *qargs)
 
 
-def make_quantized_ensemble_forward(model, num_lands, orig_hw):
+def make_quantized_ensemble_forward(model, num_lands, orig_hw, float_levels=0):
     """Jitted ``fwd(qargs, proj) -> (avg_seg, avg_heats|None, labels)`` —
     the int8 analogue of infer/ensemble.py::make_ensemble_forward with
     identical averaging semantics (per-net crop + per-image heatmap min-max
@@ -409,10 +458,14 @@ def make_quantized_ensemble_forward(model, num_lands, orig_hw):
     K, lax.map beyond _UNROLL_NET_LIMIT to bound compile time)."""
     from deepfluoro_tpu.infer.ensemble import map_over_nets, postprocess_net_output
 
+    int8_points = make_level_filter(float_levels, model.depth)
+
     @jax.jit
     def fwd(qargs, proj):
         def one_net(member):
-            out = quantized_member_apply(model, member, proj)
+            out = quantized_member_apply(
+                model, member, proj, int8_points=int8_points
+            )
             return postprocess_net_output(out, orig_hw, num_lands)
 
         if num_lands > 0:

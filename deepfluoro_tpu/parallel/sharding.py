@@ -267,7 +267,7 @@ def make_sharded_ensemble_forward(
 
 
 def make_sharded_quantized_ensemble_forward(
-    model, num_lands: int, orig_hw, mesh: Mesh
+    model, num_lands: int, orig_hw, mesh: Mesh, float_levels: int = 0
 ):
     """int8 ensemble forward (infer/quantized.py) sharded exactly like the
     float path: each device runs its local members' w8a8 convs and the
@@ -277,9 +277,14 @@ def make_sharded_quantized_ensemble_forward(
     per-image heatmap min-max, TOTAL-member denominator — are shared with
     the float path via postprocess_net_output/_make_sharded_member_forward,
     so the two cannot drift (reference util.py:345-356)."""
-    from deepfluoro_tpu.infer.quantized import quantized_member_apply
+    from deepfluoro_tpu.infer.quantized import (
+        make_level_filter, quantized_member_apply,
+    )
 
+    int8_points = make_level_filter(float_levels, model.depth)
     return _make_sharded_member_forward(
-        lambda member, proj: quantized_member_apply(model, member, proj),
+        lambda member, proj: quantized_member_apply(
+            model, member, proj, int8_points=int8_points
+        ),
         num_lands, orig_hw, mesh,
     )

@@ -15,7 +15,7 @@ scalar-readback drain, report the max rate (BASELINE.md round-2+ protocol).
 Run on an idle host; numbers are only comparable back-to-back in one
 session.
 
-Usage: python scripts/bench_fullres_ladder.py [--rungs 8,4,2,1]
+Usage: python scripts/bench_fullres_ladder.py [--rungs 16,8,4,2,1]
 """
 
 from __future__ import annotations
@@ -30,16 +30,16 @@ import numpy as np
 # dims used across BASELINE.md (192 = paper 8x config, 368/736/1440 follow
 # the same ceil-to-32-multiple rule for the deeper frames).
 FULL = 1536
-PAD_DIM = {8: 192, 4: 368, 2: 736, 1: 1440}
+PAD_DIM = {16: 96, 8: 192, 4: 368, 2: 736, 1: 1440}
 # Per-rung batch: sized under the 16 GB HBM envelope (1x at batch 4 is the
 # inference analogue of the training OOM documented in e2e_fullres.sh).
-BATCH = {8: 64, 4: 16, 2: 8, 1: 2}
-ITERS = {8: 10, 4: 10, 2: 5, 1: 4}
+BATCH = {16: 128, 8: 64, 4: 16, 2: 8, 1: 2}
+ITERS = {16: 10, 8: 10, 4: 10, 2: 5, 1: 4}
 N_CLASSES = 7
 N_LANDS = 14
 
 
-def bench_rung(ds: int, int8: bool = False) -> dict:
+def bench_rung(ds: int, int8: bool = False, float_levels=(), batch=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -60,7 +60,7 @@ def bench_rung(ds: int, int8: bool = False) -> dict:
         jax.random.PRNGKey(0), dummy
     )
 
-    b = BATCH[ds]
+    b = batch or BATCH[ds]
     rng = np.random.default_rng(0)
     projs = jnp.asarray(rng.random((b, FULL, FULL), np.float32) * 4000.0 + 1.0)
     rots = jnp.ones((b,), bool)
@@ -69,6 +69,13 @@ def bench_rung(ds: int, int8: bool = False) -> dict:
     if int8:
         variants["int8"] = make_quantized_fullres_infer(
             model, variables, ds, pad, (FULL, FULL), projs[:2], rots[:2]
+        )
+    for fl in float_levels:
+        # hybrid: finest fl levels float, deeper levels w8a8 (VERDICT r4
+        # weak #3 — the structural response to the big-rung int8 loss)
+        variants["int8-fl{}".format(fl)] = make_quantized_fullres_infer(
+            model, variables, ds, pad, (FULL, FULL), projs[:2], rots[:2],
+            float_levels=fl,
         )
 
     out = {}
@@ -91,23 +98,32 @@ def bench_rung(ds: int, int8: bool = False) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rungs", default="8,4,2,1")
+    ap.add_argument("--rungs", default="16,8,4,2,1")
     ap.add_argument("--int8", action="store_true",
                     help="also time the w8a8 program back-to-back per rung")
+    ap.add_argument("--float-levels", default="",
+                    help="comma list: also time hybrid w8a8 programs that "
+                         "keep the finest N levels float (e.g. 1,2)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the per-rung batch size")
     args = ap.parse_args()
 
     from deepfluoro_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
 
+    fls = tuple(int(x) for x in args.float_levels.split(",") if x)
     for ds in (int(x) for x in args.rungs.split(",")):
-        rates = bench_rung(ds, int8=args.int8)
+        b = args.batch or BATCH[ds]
+        rates = bench_rung(ds, int8=args.int8, float_levels=fls, batch=args.batch or None)
         line = "ds={}x (pad {}, batch {}): {:.1f} frames/s ({:.2f} ms/frame)".format(
-            ds, PAD_DIM[ds], BATCH[ds], rates["float"], 1e3 / rates["float"]
+            ds, PAD_DIM[ds], b, rates["float"], 1e3 / rates["float"]
         )
-        if "int8" in rates:
-            line += " | int8 {:.1f} frames/s ({:.2f} ms/frame, {:.2f}x)".format(
-                rates["int8"], 1e3 / rates["int8"], rates["int8"] / rates["float"]
+        for name in rates:
+            if name == "float":
+                continue
+            line += " | {} {:.1f} frames/s ({:.2f} ms/frame, {:.2f}x)".format(
+                name, rates[name], 1e3 / rates[name], rates[name] / rates["float"]
             )
         print(line, flush=True)
 
