@@ -25,7 +25,7 @@ FACTOR="${2:?factor required: 16|8|4|2|1}"
 case "$FACTOR" in
   16) IMG_DIM=89;   PAD_DIM=96;   DEF_BATCH=5; DEF_EPOCHS=4; DEF_PROJS=16; BIG=0 ;;
   8)  IMG_DIM=179;  PAD_DIM=192;  DEF_BATCH=5; DEF_EPOCHS=4; DEF_PROJS=16; BIG=0 ;;
-  4)  IMG_DIM=359;  PAD_DIM=368;  DEF_BATCH=5; DEF_EPOCHS=4; DEF_PROJS=16; BIG=1 ;;
+  4)  IMG_DIM=359;  PAD_DIM=384;  DEF_BATCH=5; DEF_EPOCHS=4; DEF_PROJS=16; BIG=1 ;;  # 384=12*32: training needs the 5 strided halvings even (the 368 inference rung tolerates odd levels via bridge crops)
   2)  IMG_DIM=718;  PAD_DIM=736;  DEF_BATCH=5; DEF_EPOCHS=4; DEF_PROJS=16; BIG=1 ;;
   1)  IMG_DIM=1436; PAD_DIM=1440; DEF_BATCH=2; DEF_EPOCHS=3; DEF_PROJS=8;  BIG=1 ;;
   *) echo "unknown factor '$FACTOR' (want 16|8|4|2|1)" >&2; exit 2 ;;

@@ -107,9 +107,31 @@ with h5py.File(dataset) as ds:
         print("spec %s: mean hard Dice %.4f | lands %d/%d | err median %.2f px | %.2f ms/img"
               % (kk, dice_all[-1], det, total,
                  np.median(errs) if errs else float("nan"), 1e3 * np.mean(tm)))
+dice_mean = float(np.mean(dice_all))
+det_pct = 100.0 * det_hit / max(1, det_tot)
+err_med = float(np.median(errs_all)) if errs_all else float("nan")
 print("OVERALL: mean Dice %.4f | detection %.1f%% | err median %.2f px"
-      % (np.mean(dice_all), 100.0 * det_hit / max(1, det_tot),
-         np.median(errs_all) if errs_all else float("nan")))
+      % (dice_mean, det_pct, err_med))
+
+# --- regression gate (VERDICT r4 #2): at a pinned NON-SATURATED operating
+# point (the 8-epoch smoke: Dice ~0.995, detection ~50-60% — both still
+# climbing, so regressions move them) the harness asserts tolerance bands
+# instead of just printing. Bands live in BASELINE.md next to the
+# operating-point rows; activate with e.g.
+#   E2E_MIN_DICE=0.985 E2E_MIN_DET=40 E2E_MAX_ERR=1.0 scripts/synthetic_e2e.sh wd '' 8
+import os
+failures = []
+if os.environ.get("E2E_MIN_DICE") and dice_mean < float(os.environ["E2E_MIN_DICE"]):
+    failures.append("mean Dice %.4f < band %s" % (dice_mean, os.environ["E2E_MIN_DICE"]))
+if os.environ.get("E2E_MIN_DET") and det_pct < float(os.environ["E2E_MIN_DET"]):
+    failures.append("detection %.1f%% < band %s%%" % (det_pct, os.environ["E2E_MIN_DET"]))
+if os.environ.get("E2E_MAX_ERR") and not (err_med <= float(os.environ["E2E_MAX_ERR"])):
+    failures.append("median err %.2f px > band %s" % (err_med, os.environ["E2E_MAX_ERR"]))
+if failures:
+    print("REGRESSION GATE FAILED: " + "; ".join(failures))
+    raise SystemExit(1)
+if any(os.environ.get(k) for k in ("E2E_MIN_DICE", "E2E_MIN_DET", "E2E_MAX_ERR")):
+    print("REGRESSION GATE PASSED")
 EOF
 echo "=== E2E COMPLETE ==="
 exit 0
