@@ -29,6 +29,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="smoke mode on CPU")
+    ap.add_argument("--float-levels", default="",
+                    help="comma list: also time hybrid programs keeping the "
+                         "finest N levels float (e.g. 1,2)")
     args = ap.parse_args()
 
     from deepfluoro_tpu.utils.platform import enable_compilation_cache, select_platform
@@ -115,8 +118,31 @@ def main() -> None:
     fps_q = measure(infer_int8, qweights, variables, scales, projs)
     print(
         f"batch={args.batch} float_bf16={fps_f:.1f} f/s  int8={fps_q:.1f} f/s  "
-        f"speedup={fps_q / fps_f:.2f}x  argmax_agreement={agree:.4f}"
+        f"speedup={fps_q / fps_f:.2f}x  argmax_agreement={agree:.4f}",
+        flush=True,
     )
+
+    # hybrid variants, back-to-back in the same session
+    from deepfluoro_tpu.infer.quantized import make_level_filter
+
+    for fl in (int(x) for x in args.float_levels.split(",") if x):
+        pts = make_level_filter(fl, cfg.depth)
+
+        @jax.jit
+        def infer_hybrid(qweights, variables, scales, projs, _pts=pts):
+            prepared = prepare_batch(aug, key, projs)
+            seg, _heats = quantized_apply(
+                model, qweights, variables, scales, prepared["proj"],
+                int8_points=_pts,
+            )
+            return jnp.argmax(seg, axis=-1).astype(jnp.uint8)
+
+        fps_h = measure(infer_hybrid, qweights, variables, scales, projs)
+        print(
+            f"  int8-fl{fl}={fps_h:.1f} f/s  vs-float={fps_h / fps_f:.2f}x  "
+            f"vs-int8={fps_h / fps_q:.2f}x",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
