@@ -95,21 +95,40 @@ python - "$TAG" <<'EOF'
 import csv
 import sys
 
+import h5py
 import numpy as np
 
 tag = sys.argv[1]
 dice = [float(r["dice"]) for r in csv.DictReader(open("dice{}_03.csv".format(tag)))]
-lands = list(csv.DictReader(open("lands{}_03.csv".format(tag))))
-found = [r for r in lands if float(r["row"]) >= 0]
 tm = [float(x) for x in open("times{}_03.txt".format(tag))]
 tl = [float(x) for x in open("zz{}_tl.txt".format(tag))]
 vl = [float(x) for x in open("zz{}_vl.txt".format(tag))]
+# landmark detection + error vs GT, counting only in-view landmarks by the
+# LOADER's bound (0 <= x <= dim-1, data/hdf5.py::mark_oob_landmarks_inf) —
+# same convention as synthetic_e2e.sh's scorer
+det, total, errs = 0, 0, []
+with h5py.File("ds{}.h5".format(tag)) as ds:
+    gt = np.asarray(ds["03/lands"])  # (N, 2, L) col-then-row
+    R, C = ds["03/projs"].shape[1:3]
+for row in csv.DictReader(open("lands{}_03.csv".format(tag))):
+    p, l = int(row["proj"]), int(row["land"])
+    gx, gy = float(gt[p, 0, l]), float(gt[p, 1, l])
+    if not (np.isfinite(gx) and np.isfinite(gy)
+            and 0 <= gx <= C - 1 and 0 <= gy <= R - 1):
+        continue
+    total += 1
+    r, c = float(row["row"]), float(row["col"])
+    if r < 0:
+        continue
+    det += 1
+    errs.append(float(np.hypot(r - gy, c - gx)))
 print("train iters: {} | first loss {:.4f} -> last {:.4f}".format(
     len(tl), tl[0], tl[-1]))
 print("valid epochs: {} | last {:.4f}".format(len(vl), vl[-1]))
-print("held-out mean hard Dice: {:.4f} | detected {}/{} lands | "
-      "{:.2f} ms/img inference".format(
-          np.mean(dice), len(found), len(lands), 1e3 * np.mean(tm)))
+print("held-out mean hard Dice: {:.4f} | detected {}/{} lands ({:.1f}%) | "
+      "err median {:.2f} px | {:.2f} ms/img inference".format(
+          np.mean(dice), det, total, 100.0 * det / max(1, total),
+          float(np.median(errs)) if errs else float("nan"), 1e3 * np.mean(tm)))
 print("=== E2E {} COMPLETE ===".format(tag.upper()))
 EOF
 }
